@@ -1,0 +1,59 @@
+"""A1-A4: the reference extract tool's aggregation surface.
+
+The reference's linear-scan in-memory group table
+(``/root/reference/src/s3extract.c:136-216``, O(G·N) lookups, whole
+dataset in RAM) becomes ``HashAggregateExec`` partial+final with spill
+— map-side combine means the shuffle moves one row per (partition,
+group), not per input row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import SECONDS_PER_DAY
+
+
+def group_count(df: DataFrame, *keys: str | Column) -> DataFrame:
+    """A1: groupBy + count (s3extract.c:151-203 + :273)."""
+    return df.groupBy(*keys).agg(F.count("*").alias("count"))
+
+
+def day_key(ts_unix: Column | str) -> Column:
+    """A2: integer day bucket, byte-parity with s3extract.c:159."""
+    c = F.col(ts_unix) if isinstance(ts_unix, str) else ts_unix
+    return (c / SECONDS_PER_DAY).cast("long")
+
+
+def global_counts(df: DataFrame, *distinct_keys: str) -> DataFrame:
+    """A3/A4: total rows + exact distinct key count in one aggregate."""
+    aggs = [F.count("*").alias("total_rows")]
+    if distinct_keys:
+        aggs.append(
+            F.count_distinct(*[F.col(k) for k in distinct_keys]).alias(
+                "distinct_keys"
+            )
+        )
+        # approximate variant — the scale path for dashboards where ±2%
+        # beats an exact shuffle of every key (not in the reference)
+        aggs.append(
+            F.approx_count_distinct(
+                F.xxhash64(*[F.col(k) for k in distinct_keys])
+            ).alias("approx_distinct_keys")
+        )
+    return df.agg(*aggs)
+
+
+def grouped_export(df: DataFrame, key: str | Column, max_rows_per_group: int | None = None) -> DataFrame:
+    """S6 grouped-JSON shape: key → (count, members[]). The reference
+    materializes every member in RAM (s3extract.c:251-291); at scale
+    collect_list per group is only sane with a cap — members beyond the
+    cap are counted but not materialized (the router's per-sink tables
+    are the scale path, SURVEY.md §2.7)."""
+    members = F.collect_list(F.struct(*df.columns))
+    if max_rows_per_group is not None:
+        members = F.slice(members, 1, max_rows_per_group)
+    return df.groupBy(key).agg(
+        F.count("*").alias("count"), members.alias("logs")
+    )

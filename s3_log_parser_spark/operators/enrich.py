@@ -1,0 +1,174 @@
+"""E7/E8: user-agent → system/platform classification.
+
+The reference hard-codes two ordered ``contains`` pattern banks
+(``/root/reference/src/s3parser.c:494-511`` system,
+``:517-586`` platform). Two Spark realizations, cross-checked in tests:
+
+- :func:`classify_when` — chained ``CASE WHEN contains(...)`` — pure
+  codegen, short-circuits in match order; fine for ≤10 patterns. Used
+  as the oracle form.
+- :func:`enrich_broadcast` — the north_star form: a **broadcast
+  theta-join** against the pattern-bank dimension table
+  (``contains(user_agent, pattern)``) + min-priority winner. Spark
+  plans a BroadcastNestedLoopJoin for the non-equi predicate — correct
+  and cheap for a ≤100-row bank; at 100 TB the fact side streams
+  through executors with the tiny bank replicated, no shuffle.
+
+Platform semantics (intended, SURVEY.md §2.3 E8): ``os_id`` and
+``device_id`` as separate columns, ``platform_id = os_id*256 +
+device_id``; ``platform_id_u8 = device_id`` reproduces the reference's
+observable uint8 truncation (src/s3parser.c:516-586 return type).
+Reference quirks NOT reproduced in the primary columns (documented
+deviations): Windows→OS_IOS (:534-536); desktop requiring "Mobile"
+(:581, makes DEV_DESKTOP unreachable in practice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..schemas import (
+    DEVICE_IDS,
+    OS_IDS,
+    OS_PATTERNS,
+    SYSTEM_PATTERNS,
+    os_dim,
+    system_dim,
+)
+
+
+def classify_system_when(ua: Column | str) -> Column:
+    """E7 as an ordered CASE WHEN chain (src/s3parser.c:494-511)."""
+    c = F.col(ua) if isinstance(ua, str) else ua
+    expr = F.lit(0)
+    for pat, sid, _prio in reversed(SYSTEM_PATTERNS):
+        expr = F.when(c.isNotNull() & c.contains(pat), F.lit(sid)).otherwise(expr)
+    return expr.cast("int")
+
+
+def classify_os_when(ua: Column | str) -> Column:
+    """E8 OS leg as ordered CASE WHEN (intended semantics)."""
+    c = F.col(ua) if isinstance(ua, str) else ua
+    expr = F.lit(OS_IDS["OS_UNKNOWN"])
+    for pats, os_id, _prio in reversed(OS_PATTERNS):
+        cond = F.lit(False)
+        for p in pats:
+            cond = cond | (c.isNotNull() & c.contains(p))
+        expr = F.when(cond, F.lit(os_id)).otherwise(expr)
+    return expr.cast("int")
+
+
+def classify_device_when(ua: Column | str, os_id: Column) -> Column:
+    """E8 device leg — mirrors the reference's ordered device rules
+    (src/s3parser.c:556-583), with the intended desktop rule
+    (OS in {windows, linux, macos} and NOT mobile)."""
+    c = F.col(ua) if isinstance(ua, str) else ua
+    has = lambda p: c.isNotNull() & c.contains(p)  # noqa: E731
+    return (
+        F.when(os_id == OS_IDS["OS_WATCH"], DEVICE_IDS["DEV_WATCH"])
+        .when(os_id == OS_IDS["OS_TV"], DEVICE_IDS["DEV_TV"])
+        .when(
+            has("Mobile") | ((os_id == OS_IDS["OS_IOS"]) & has("iPhone")),
+            DEVICE_IDS["DEV_MOBILE"],
+        )
+        .when(has("Tablet") | has("iPad"), DEVICE_IDS["DEV_TABLET"])
+        .when(
+            has("Echo") | has("HomePod") | has("GoogleHome"),
+            DEVICE_IDS["DEV_SMART_SPEAKER"],
+        )
+        .when(
+            os_id.isin(
+                OS_IDS["OS_WINDOWS"], OS_IDS["OS_LINUX"], OS_IDS["OS_MACOS"]
+            ),
+            DEVICE_IDS["DEV_DESKTOP"],
+        )
+        .otherwise(DEVICE_IDS["DEV_UNKNOWN"])
+        .cast("int")
+    )
+
+
+def classify_when(df: DataFrame, ua_col: str = "user_agent") -> DataFrame:
+    """Attach system_id/os_id/device_id/platform_id via CASE WHEN chains."""
+    ua = F.col(ua_col)
+    df = df.withColumn("system_id", classify_system_when(ua))
+    df = df.withColumn("os_id", classify_os_when(ua))
+    df = df.withColumn("device_id", classify_device_when(ua, F.col("os_id")))
+    return _platform_cols(df)
+
+
+def _platform_cols(df: DataFrame) -> DataFrame:
+    df = df.withColumn(
+        "platform_id", (F.col("os_id") * 256 + F.col("device_id")).cast("int")
+    )
+    # reference uint8 truncation keeps only the device byte (E8 quirk)
+    return df.withColumn("platform_id_u8", F.col("device_id"))
+
+
+def enrich_broadcast(
+    df: DataFrame, ua_col: str = "user_agent", row_key: tuple[str, ...] = ()
+) -> DataFrame:
+    """E7+E8 via broadcast theta-join against the pattern banks.
+
+    ``row_key``: columns that uniquely identify a row (used to pick the
+    min-priority match without relying on monotonically_increasing_id).
+    If empty, a temporary row id is attached (safe in batch).
+    """
+    spark = df.sparkSession
+    tmp_key = False
+    if not row_key:
+        df = df.withColumn("_rid", F.monotonically_increasing_id())
+        row_key = ("_rid",)
+        tmp_key = True
+
+    ua = F.col(ua_col)
+
+    sys_d = system_dim(spark)
+    j = df.join(
+        F.broadcast(sys_d),
+        ua.isNotNull() & ua.contains(sys_d["pattern"]),
+        "left",
+    )
+    w = Window.partitionBy(*row_key).orderBy(F.col("priority").asc_nulls_last())
+    df = (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .withColumn("system_id", F.coalesce(F.col("system_id"), F.lit(0)).cast("int"))
+        .drop("pattern", "priority", "_rn")
+    )
+
+    os_d = os_dim(spark)
+    j = df.join(
+        F.broadcast(os_d),
+        ua.isNotNull() & ua.contains(os_d["pattern"]),
+        "left",
+    )
+    df = (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .withColumn("os_id", F.coalesce(F.col("os_id"), F.lit(0)).cast("int"))
+        .drop("pattern", "priority", "_rn")
+    )
+
+    df = df.withColumn("device_id", classify_device_when(ua, F.col("os_id")))
+    df = _platform_cols(df)
+    return df.drop("_rid") if tmp_key else df
+
+
+def enrich_role_tool(df: DataFrame) -> DataFrame:
+    """North-star broadcast-hash-join enrichment of the role/tool
+    dimensions — equi-join keys → BroadcastHashJoinExec, zero shuffle
+    on the fact side. The ``tool_hash`` from the dim doubles as a
+    precomputed DJB2 (golden values, FIXTURES.md §2), avoiding the UDF
+    for the dictionary-encoded tool column entirely.
+    """
+    from ..schemas import role_dim, tool_dim
+
+    spark = df.sparkSession
+    df = df.join(F.broadcast(role_dim(spark)), "role", "left")
+    df = df.join(
+        F.broadcast(tool_dim(spark).withColumnRenamed("tool_hash", "tool_dim_hash")),
+        "tool",
+        "left",
+    )
+    return df

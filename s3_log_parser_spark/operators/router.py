@@ -1,0 +1,104 @@
+"""§2.7 predicate router: one encoded stream → per-sink tables + counts.
+
+Generalizes the extract tool's runtime ``-g p|i|t|n`` group-by selector
+(``/root/reference/src/s3extract.c:39-62,151-164``) into a declarative
+multi-sink fan-out. Routes (north_star): by_tool, by_role, by_day,
+rejects (parse_status != 'ok' — replaces the reference's silent
+zeroing), plus the identity route ``all``.
+
+Batch Spark has no single-pass multi-sink write, so the idiomatic
+shape is: persist (or checkpoint to the slim table — which doubles as
+the resume point) → N filtered writes, each followed by its per-sink
+groupBy counts. Each sink write re-reads the cached/columnar slim data
+with column pruning, not the raw text.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.catalog import Catalog
+from .aggregate import group_count
+
+
+@dataclass
+class Route:
+    name: str
+    predicate: Callable[[DataFrame], Column]  # row filter
+    group_key: tuple[str, ...]  # per-sink aggregate key
+    partition_by: tuple[str, ...] = field(default_factory=tuple)
+
+
+def default_routes() -> list[Route]:
+    ok = lambda df: F.col("parse_status") == "ok"  # noqa: E731
+    bad = lambda df: F.col("parse_status") != "ok"  # noqa: E731
+    return [
+        # graft of -g p (by podcast) → by tool (s3extract.c:152-154)
+        Route("by_tool", ok, ("tool",), ("tool",)),
+        # graft of -g i (by ip) → by role/conv (s3extract.c:155-157)
+        Route("by_role", ok, ("role",), ("role",)),
+        # -g t (by day, ts/86400) (s3extract.c:158-160)
+        Route("by_day", ok, ("day_bucket",), ("day_bucket",)),
+        # north_star addition: explicit rejects instead of zeroed rows
+        Route("rejects", bad, ("parse_status",), ()),
+    ]
+
+
+def route_and_write(
+    slim: DataFrame,
+    catalog: Catalog,
+    routes: list[Route] | None = None,
+    mode: str = "overwrite",
+    skip: Callable[[str], bool] | None = None,
+    on_done: Callable[[str], None] | None = None,
+) -> dict[str, DataFrame]:
+    """Fan the slim table out to sinks; return per-sink count frames.
+
+    ``skip``/``on_done`` hook the lineage manifest for idempotent
+    resume (plans/lineage.py). The caller is responsible for having
+    persisted/materialized ``slim`` (the pipeline writes the slim table
+    first and routes from the columnar re-read — cheaper than caching
+    raw text at 100 TB, and it IS the checkpoint).
+    """
+    routes = routes if routes is not None else default_routes()
+    counts: dict[str, DataFrame] = {}
+    for r in routes:
+        routed = slim.filter(r.predicate(slim))
+        stage = f"sink:{r.name}"
+        if skip is None or not skip(stage):
+            catalog.write(routed, r.name, mode=mode, partition_by=r.partition_by)
+            c = group_count(routed, *r.group_key) if r.group_key else routed.agg(
+                F.count("*").alias("count")
+            )
+            catalog.write(c, f"{r.name}_counts", mode=mode)
+            if on_done is not None:
+                on_done(stage)
+        counts[r.name] = catalog.read(f"{r.name}_counts")
+    return counts
+
+
+def routed_union_equals_source(
+    slim: DataFrame, catalog: Catalog, routes: list[Route] | None = None
+) -> bool:
+    """Correctness gate: disjoint-route union == source (set equality
+    via exceptAll both directions — FIXTURES.md §5.3). by_tool/by_role/
+    by_day overlap (same ok rows three ways); rejects ∪ by_tool == all.
+    """
+    a = catalog.read("by_tool").unionByName(catalog.read("rejects"))
+    a = align_schema(a, slim)
+    b = slim.select(*slim.columns)
+    return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def align_schema(df: DataFrame, like: DataFrame) -> DataFrame:
+    """Reorder + cast columns to match ``like`` — partitioned-parquet
+    read-back moves partition columns to the end and re-infers their
+    types (e.g. a LONG day_bucket comes back INT), so set-equality
+    checks must re-align first."""
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in like.schema.fields]
+    )

@@ -1,0 +1,94 @@
+"""The end-to-end DAG: parse → encode → enrich → flags → route → aggregate.
+
+Distributed trace (SURVEY.md §3.1): scan transcripts (column-pruned to
+conv_id, turn_idx, role, tool, text, ts) → one pandas-UDF pass (grok
+bank + DJB2, Arrow batches) → Catalyst-codegen'd casts/encodings →
+broadcast-join role/tool dims → ONE shuffle (the (ip_hash, key_hash)
+window for ST1) → slim table write (the checkpoint) → N filtered sink
+writes + per-sink counts from the columnar re-read.
+
+Scale posture: the only wide exchange before the sinks is the ST1
+window on high-cardinality hash keys (no skew by construction); the
+hot-conversation skew on conv_id never hits a shuffle in this DAG
+(conv-keyed work is the *order* surrogate inside the ip/key window,
+not a partition key). Sink writes are pruned columnar scans of slim.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.encode import SLIM_COLUMNS, encode_slim
+from ..functions.parsing import parse_text_pandas, parse_text_sql
+from ..operators.enrich import classify_when, enrich_role_tool
+from ..operators.flags import with_flags
+from ..operators.router import Route, default_routes, route_and_write
+from ..sources.catalog import Catalog
+from .lineage import Manifest
+
+
+@dataclass
+class PipelineResult:
+    slim: DataFrame
+    sink_counts: dict[str, DataFrame]
+    timings: dict[str, float] = field(default_factory=dict)
+
+
+def build_slim(
+    transcripts: DataFrame,
+    use_sql_parser: bool = False,
+    use_udf_hash: bool = True,
+) -> DataFrame:
+    """The logical plan for transcripts → slim (no writes, no actions)."""
+    parse = parse_text_sql if use_sql_parser else parse_text_pandas
+    df = parse(transcripts, "text")
+    df = encode_slim(df, use_udf_hash=use_udf_hash)
+    # E7/E8: pattern banks are compile-time constants → CASE WHEN chains
+    # (whole-stage codegen); the data-driven dims (role/tool) go through
+    # real broadcast hash joins.
+    df = classify_when(
+        df.withColumn("user_agent", F.col("parsed")["user_agent"])
+    ).drop("user_agent")
+    df = enrich_role_tool(df)
+    df = with_flags(df)
+    return df.select(*SLIM_COLUMNS)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    run_id: str = "run-0",
+    routes: list[Route] | None = None,
+    use_sql_parser: bool = False,
+) -> PipelineResult:
+    """Execute the full DAG with manifest-gated idempotent resume."""
+    catalog = Catalog(spark, out_dir)
+    manifest = Manifest(out_dir, run_id)
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    if not manifest.complete("slim"):
+        slim = build_slim(transcripts, use_sql_parser=use_sql_parser)
+        catalog.write(slim, "slim", mode="overwrite")
+        manifest.mark("slim")
+    timings["slim"] = time.perf_counter() - t0
+
+    # route from the columnar checkpoint, not the raw text
+    slim = catalog.read("slim")
+
+    t0 = time.perf_counter()
+    counts = route_and_write(
+        slim,
+        catalog,
+        routes=routes,
+        skip=manifest.complete,
+        on_done=manifest.mark,
+    )
+    timings["route"] = time.perf_counter() - t0
+
+    return PipelineResult(slim=slim, sink_counts=counts, timings=timings)

@@ -1,0 +1,59 @@
+"""SparkSession builder with the confs this pipeline relies on.
+
+Scale posture (100 TB / 1000-executor design, tested on local[N]):
+
+- AQE on (coalesce small shuffle partitions, split skewed ones) — the
+  north_rule names AQE skew-join handling explicitly.
+- Arrow on, 10k rows/batch — mirrors the reference's 10k-row batch loop
+  (``/root/reference/include/s3lp.h:19``) and keeps the single pandas
+  UDF of the DAG cheap.
+- Session timezone pinned UTC — the reference's ``mktime`` uses local
+  time (a tz bug, ``/root/reference/src/s3parser.c:376``); we fix it and
+  document the deviation (SURVEY.md §2.2 P2).
+- shuffle.partitions defaults to 2× cores locally; on a real cluster
+  this is set per-job to ~2-3× total cores and AQE coalesces down.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "s3_log_parser_spark",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a tuned SparkSession.
+
+    ``cores`` may be an int, "*", or None (env SPARK_GRAFT_CPUS, then *).
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = f"local[{cores}]"
+    if shuffle_partitions is None:
+        ncores = os.cpu_count() or 8 if cores == "*" else int(cores)
+        shuffle_partitions = max(8, 2 * ncores)
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

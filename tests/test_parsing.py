@@ -1,0 +1,106 @@
+"""P1/P2/P5/P6 + the north_rule's byte-exact text round-trip invariant."""
+
+from pyspark.sql import functions as F
+
+from s3_log_parser_spark.functions.parsing import (
+    clamp_http_code,
+    contains_pattern,
+    parse_range,
+    parse_text_pandas,
+    parse_text_sql,
+    reassemble_text,
+)
+
+
+def test_round_trip_text_equality(spark, transcripts):
+    """parse(text) → reassemble == text for every ok row, under stable
+    (conv_id, turn_idx) ordering (north_rule per-row invariant)."""
+    parsed = parse_text_pandas(transcripts)
+    ok = parsed.filter(F.col("parse_status") == "ok")
+    bad = ok.withColumn("rebuilt", reassemble_text(F.col("parsed"))).filter(
+        F.col("rebuilt") != F.col("text")
+    )
+    assert bad.count() == 0
+    # ok rows dominate the fixture (only ~0.5% malformed)
+    assert ok.count() > transcripts.count() * 0.98
+
+
+def test_pandas_and_sql_parsers_agree(spark, transcripts):
+    a = parse_text_pandas(transcripts).select(
+        "conv_id", "turn_idx", "parsed", "parse_status"
+    )
+    b = parse_text_sql(transcripts).select(
+        "conv_id", "turn_idx", "parsed", "parse_status"
+    )
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_parse_status_classes(spark, transcripts):
+    parsed = parse_text_pandas(transcripts)
+    classes = {
+        r["parse_status"]: r["count"]
+        for r in parsed.groupBy("parse_status").count().collect()
+    }
+    assert set(classes) == {"ok", "bad_format", "bad_time"}
+    assert classes["ok"] > 0.98 * transcripts.count()
+
+
+def test_parsed_fields_values(spark):
+    line = (
+        "own buck [03/May/2025:10:20:30 +0000] 1.2.3.4 - REQID REST.GET.OBJECT "
+        '/show/ep.mp3 "GET /show/ep.mp3 HTTP/1.1" 206 - 1024 2048 77 42 "-" '
+        '"Spotify/8.8 Android" v1 H1 SigV2 C A host.example.com TLSv1.2 arn false '
+        '"bytes=0-1023"'
+    )
+    df = spark.createDataFrame([(line,)], "text string")
+    r = parse_text_pandas(df).select("parsed.*", "event_ts", "parse_status").collect()[0]
+    assert r["owner"] == "own"
+    assert r["remote_ip"] == "1.2.3.4"
+    assert r["key"] == "/show/ep.mp3"
+    assert r["request_uri"] == "GET /show/ep.mp3 HTTP/1.1"
+    assert r["http_code"] == 206
+    assert r["bytes_sent"] == 1024
+    assert r["object_size"] == 2048
+    assert r["total_time_ms"] == 77
+    assert r["user_agent"] == "Spotify/8.8 Android"
+    assert r["range_header"] == "bytes=0-1023"
+    assert r["parse_status"] == "ok"
+    assert str(r["event_ts"]) == "2025-05-03 10:20:30"
+
+
+def test_range_parse_both_spellings(spark):
+    # intended semantics: accept AWS's 'bytes=a-b' and the reference
+    # sscanf's 'bytesa-b' (SURVEY.md §2.2 P5 quirk)
+    df = spark.createDataFrame(
+        [("bytes=0-99",), ("bytes100-200",), (None,), ("nope",)], "r string"
+    )
+    s, e = parse_range("r")
+    rows = df.select(s.alias("s"), e.alias("e")).collect()
+    assert (rows[0]["s"], rows[0]["e"]) == (0, 99)
+    assert (rows[1]["s"], rows[1]["e"]) == (100, 200)
+    assert rows[2]["s"] is None
+    assert rows[3]["s"] is None
+
+
+def test_http_clamp(spark):
+    # P3: 200..599 pass, else 0 (src/s3parser.c:214-223)
+    df = spark.createDataFrame([(200,), (599,), (100,), (999,), (None,)], "c int")
+    got = [r[0] for r in df.select(clamp_http_code("c")).collect()]
+    assert got == [200, 599, 0, 0, 0]
+
+
+def test_contains_pattern(spark):
+    # ports tests/test_parser.cpp:138-163 (match / miss / partial-miss)
+    df = spark.createDataFrame(
+        [
+            ("Spotify/8.8.4.669 Android/33", "Spotify/", 1),
+            ("Mozilla/5.0 Windows", "Spotify/", 0),
+            ("Spotif/8.8", "Spotify/", 0),
+        ],
+        "ua string, pat string, want int",
+    )
+    rows = df.collect()
+    for r in rows:
+        one = spark.createDataFrame([(r["ua"],)], "ua string")
+        got = one.select(contains_pattern("ua", r["pat"])).collect()[0][0]
+        assert got == r["want"]

@@ -1,0 +1,114 @@
+"""End-to-end DAG: per-sink aggregate counts, routed-row set equality,
+kill/resume idempotence (FIXTURES.md §5)."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3_log_parser_spark.plans.pipeline import build_slim, run_pipeline
+from s3_log_parser_spark.plans.lineage import Manifest
+from s3_log_parser_spark.sources.catalog import Catalog
+
+
+@pytest.fixture(scope="module")
+def piperun(spark, transcripts, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pipe"))
+    res = run_pipeline(spark, transcripts, out, run_id="t1")
+    return out, res
+
+
+def test_row_conservation(spark, transcripts, piperun):
+    out, res = piperun
+    assert res.slim.count() == transcripts.count()
+
+
+def test_sink_counts_consistency(spark, transcripts, piperun):
+    out, res = piperun
+    total = transcripts.count()
+    cat = Catalog(spark, out)
+    n_ok = res.slim.filter(F.col("parse_status") == "ok").count()
+    n_bad = total - n_ok
+
+    by_tool = cat.read("by_tool_counts")
+    assert by_tool.agg(F.sum("count")).collect()[0][0] == n_ok
+    assert by_tool.count() == 20  # the 20-tool vocabulary
+
+    by_role = cat.read("by_role_counts")
+    assert by_role.agg(F.sum("count")).collect()[0][0] == n_ok
+    assert by_role.count() == 3
+
+    rejects = cat.read("rejects_counts")
+    assert (rejects.agg(F.sum("count")).collect()[0][0] or 0) == n_bad
+
+    by_day = cat.read("by_day_counts")
+    assert by_day.agg(F.sum("count")).collect()[0][0] == n_ok
+
+
+def test_routed_row_set_equality(spark, piperun):
+    from s3_log_parser_spark.operators.router import align_schema
+
+    out, res = piperun
+    cat = Catalog(spark, out)
+    slim = cat.read("slim")
+    # ok-routes ∪ rejects == slim, set-exact both directions
+    union = align_schema(
+        cat.read("by_tool").unionByName(cat.read("rejects")), slim
+    )
+    assert union.exceptAll(slim).isEmpty()
+    assert slim.exceptAll(union).isEmpty()
+    # by_tool / by_role / by_day carry identical row-sets (same ok rows)
+    bt = align_schema(cat.read("by_tool"), slim)
+    br = align_schema(cat.read("by_role"), slim)
+    assert bt.exceptAll(br).isEmpty() and br.exceptAll(bt).isEmpty()
+
+
+def test_aggregate_matches_direct_groupby(spark, transcripts, piperun):
+    """per-sink aggregate counts == independently computed group-bys
+    straight from the raw fixture (reference parity: grouped export
+    counts, s3extract.c:273)."""
+    out, res = piperun
+    cat = Catalog(spark, out)
+    slim = build_slim(transcripts)
+    want = {
+        r["tool"]: r["c"]
+        for r in slim.filter("parse_status = 'ok'")
+        .groupBy("tool")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    got = {r["tool"]: r["count"] for r in cat.read("by_tool_counts").collect()}
+    assert got == want
+
+
+def test_resume_skips_completed_and_is_idempotent(spark, transcripts, tmp_path):
+    out = str(tmp_path / "resume")
+    # full run
+    res1 = run_pipeline(spark, transcripts, out, run_id="r1")
+    full_counts = {
+        name: sorted((tuple(r) for r in df.collect()))
+        for name, df in res1.sink_counts.items()
+    }
+    # simulate a kill after slim + 2 sinks: drop two manifest entries
+    # and the sink dirs, then re-run with the same run_id
+    m = Manifest(out, "r1")
+    for stage, table in [("sink:by_day", "by_day"), ("sink:rejects", "rejects")]:
+        os.remove(m._path(stage))
+        shutil.rmtree(os.path.join(out, table))
+        shutil.rmtree(os.path.join(out, f"{table}_counts"))
+    res2 = run_pipeline(spark, transcripts, out, run_id="r1")
+    for name, df in res2.sink_counts.items():
+        assert sorted(tuple(r) for r in df.collect()) == full_counts[name]
+    # slim stage must have been skipped (manifest still complete)
+    assert m.complete("slim")
+
+
+def test_no_python_udf_outside_parse(spark, transcripts):
+    """north_rule 'no per-row Python': the DAG's only Python is the
+    Arrow-batched grok/DJB2 stage; verify the SQL-parser variant plans
+    zero Python evals end-to-end."""
+    slim = build_slim(transcripts, use_sql_parser=True, use_udf_hash=False)
+    plan = slim._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python UDF
+    assert "ArrowEvalPython" not in plan  # fully JVM in this variant
