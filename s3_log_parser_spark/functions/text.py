@@ -1,0 +1,114 @@
+"""Text-analysis kernels for training-data pipelines: tokenization,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All pure-Catalyst (higher-order array functions over the token array —
+whole-stage codegen, zero Python). Every function has a matching
+DuckDB-SQL form in ``__spark_entry__.py`` oracles; arithmetic is kept
+integer/fold-left so both engines produce identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .hashes import djb2_expr
+
+# small fixed stopword banks — deterministic heuristic, not linguistics
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "nicht", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "une"],
+    "es": ["el", "los", "las", "una", "que", "y"],
+}
+
+TOKEN_SPLIT_RE = r"\s+"
+# BPE-ish subword regex: runs of letters, digits, or single punctuation
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """whitespace tokenization; NULL and empty string → empty array
+    (size() of a null array is -1 in non-ANSI Spark — never expose it)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(F.trim(F.coalesce(c, F.lit(""))), TOKEN_SPLIT_RE),
+        lambda t: t != "",
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """count of BPE-ish subword units (letters/digits/punct runs)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_RE), F.lit(0)))
+
+
+def stopword_hits(col: Column | str, lang: str = "en") -> Column:
+    toks = tokens(col)
+    bank = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(bank, F.lower(t))))
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """deterministic quality signals: token count, distinct ratio,
+    mean token length (integer-scaled), punct count, stopword ratio.
+    Ratios are scaled ×1000 and floored → integers, so Spark and the
+    DuckDB oracle agree bit-for-bit."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.coalesce(c, F.lit(""))
+    toks = tokens(c)
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), F.lit(0)))
+    sw = stopword_hits(c, "en")
+    nz = F.when(n > 0, n).otherwise(F.lit(1))
+    return {
+        "n_tokens": n,
+        "distinct_ratio_x1000": F.floor(nd * 1000 / nz).cast("long"),
+        "mean_token_len_x1000": F.floor(total_len * 1000 / nz).cast("long"),
+        "punct_count": punct,
+        "stopword_ratio_x1000": F.floor(sw * 1000 / nz).cast("long"),
+    }
+
+
+def quality_score_x1000(col: Column | str) -> Column:
+    """composite quality score ∈ [0, 1000]: rewards lexical diversity
+    and reasonable stopword presence, penalizes punctuation soup.
+    Deterministic integer arithmetic only."""
+    f = quality_features(col)
+    raw = (
+        f["distinct_ratio_x1000"] * 6
+        + F.least(f["stopword_ratio_x1000"] * 4, F.lit(1000))
+        - F.least(f["punct_count"] * 10, F.lit(500))
+    )
+    return F.greatest(F.lit(0), F.least(F.lit(10000), raw)).cast("long")
+
+
+def lang_guess(col: Column | str) -> Column:
+    """n-gram-ish language-ID heuristic: the language whose stopword
+    bank scores the most hits wins; ties and zero-hit rows → 'unknown'.
+    Tie-break: fixed language order (en, de, fr, es)."""
+    c = F.col(col) if isinstance(col, str) else col
+    scores = {lang: stopword_hits(c, lang) for lang in STOPWORDS}
+    best = F.greatest(*scores.values())
+    expr = F.lit("unknown")
+    for lang in reversed(list(STOPWORDS)):  # earlier langs win ties
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(
+            expr
+        )
+    return expr
+
+
+def fingerprint(col: Column | str) -> Column:
+    """document fingerprint: DJB2 rolling hash over the sorted distinct
+    token set — stable under token reordering (near-dup canonical key)."""
+    c = F.col(col) if isinstance(col, str) else col
+    canon = F.array_join(F.array_sort(F.array_distinct(tokens(c))), " ")
+    return djb2_expr(canon)

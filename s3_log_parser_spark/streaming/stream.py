@@ -1,0 +1,104 @@
+"""Streaming variant of parse → enrich → route (SURVEY.md §2.10).
+
+The reference is pure batch; this module exists because the engine's
+users tail transcript tables continuously. Shape:
+
+- ``readStream`` on the transcripts source (file/Iceberg/Kafka behind
+  the same seam),
+- the identical ``build_slim`` column logic MINUS the ST1 window
+  (windows over unbounded data need watermark state): first-occurrence
+  dedup becomes ``dropDuplicatesWithinWatermark`` on (ip_hash,
+  key_hash) after ``withWatermark(ts, delay)``,
+- ``foreachBatch`` multi-sink router — the streaming-native form of
+  the batch cache-then-filter fan-out (single pass per micro-batch),
+- tumbling-day windowed counts reproduce the A2 by-day aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.encode import SLIM_COLUMNS, encode_slim
+from ..functions.parsing import parse_text_pandas
+from ..operators.enrich import classify_when, enrich_role_tool
+from ..operators.router import Route, default_routes
+from ..sources.catalog import Catalog
+
+
+def build_slim_stream(transcripts: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """streaming version of plans.pipeline.build_slim: same parse,
+    encode, enrich; flags without the ST1 window (stateless bitmask
+    with is_first=false; the dedup flag is applied by the router via
+    dropDuplicatesWithinWatermark on the start-row stream)."""
+    from ..operators.flags import chunk_flags
+
+    df = parse_text_pandas(transcripts, "text")
+    df = encode_slim(df)
+    df = classify_when(
+        df.withColumn("user_agent", F.col("parsed")["user_agent"])
+    ).drop("user_agent")
+    df = enrich_role_tool(df)
+    df = df.withColumn(
+        "flags",
+        chunk_flags(
+            F.col("http_code"),
+            F.col("byte_start"),
+            F.col("byte_end"),
+            F.col("object_size"),
+            F.lit(False),
+        ),
+    )
+    return df.withWatermark("ts", watermark).select(*SLIM_COLUMNS)
+
+
+def start_router(
+    slim_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    routes: list[Route] | None = None,
+    trigger_once: bool = True,
+):
+    """foreachBatch multi-sink router: ONE pass over each micro-batch
+    feeds every sink (batch Spark can't do this without persist)."""
+    routes = routes if routes is not None else default_routes()
+
+    def route_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        cat = Catalog(spark, out_dir)
+        batch.persist()
+        try:
+            for r in routes:
+                cat.write(
+                    batch.filter(r.predicate(batch)),
+                    r.name,
+                    mode="append",
+                    partition_by=r.partition_by,
+                )
+        finally:
+            batch.unpersist()
+
+    w = (
+        slim_stream.writeStream.foreachBatch(route_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def unique_starts_stream(slim_stream: DataFrame) -> DataFrame:
+    """streaming ST1: first (ip_hash, key_hash) within the watermark —
+    the unbounded-exact batch window's streaming approximation."""
+    starts = slim_stream.filter(
+        (F.col("http_code") == 206) & ((F.col("flags") % 4) >= 2)
+    )
+    return starts.dropDuplicatesWithinWatermark(["ip_hash", "key_hash"])
+
+
+def daily_counts_stream(slim_stream: DataFrame) -> DataFrame:
+    """A2 as a tumbling-day windowed aggregate with late-data handling."""
+    return slim_stream.groupBy(
+        F.window(F.col("ts"), "1 day").alias("day"), F.col("tool")
+    ).agg(F.count("*").alias("count"))

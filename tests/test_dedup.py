@@ -1,0 +1,109 @@
+"""Dedup suite: exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3_log_parser_spark.operators.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    hamming64,
+    jaccard_x1000,
+    minhash_candidates,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    shingle_hashes,
+    shingles,
+    simhash,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (3, "completely different words entirely here now"),
+        (4, "spark catalyst tungsten arrow parquet iceberg"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_deterministic_winner(spark, docs):
+    out = exact_dedup(docs, key_cols=("text",), order=("doc_id",))
+    kept = {r["doc_id"]: r["dup_count"] for r in out.collect()}
+    assert 0 in kept and 2 not in kept  # lowest doc_id wins
+    assert kept[0] == 2
+    assert kept[1] == 1
+
+
+def test_shingles(spark, docs):
+    r = docs.filter("doc_id = 4").select(shingles("text", 3).alias("s")).collect()[0]
+    assert r["s"][0] == "spark catalyst tungsten"
+    assert r["s"][-1] == "arrow parquet iceberg"
+    # short text → whole string as single shingle
+    one = spark.createDataFrame([("a b",)], "text string")
+    r = one.select(shingles("text", 3).alias("s")).collect()[0]
+    assert r["s"] == ["a b"]
+
+
+def test_jaccard_near_dup_vs_distinct(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, threshold_x1000=300)
+    got = {(r["id_a"], r["id_b"]): r["jaccard_x1000"] for r in pairs.collect()}
+    assert (0, 2) in got and got[(0, 2)] == 1000  # identical
+    assert (0, 1) in got and 300 <= got[(0, 1)] < 1000  # near-dup
+    assert (0, 3) not in got and (3, 4) not in got
+
+
+def test_minhash_identical_docs_share_signature(spark, docs):
+    sig = docs.select("doc_id", *minhash_signature("text", k=8))
+    rows = {r["doc_id"]: tuple(r[f"mh_{i}"] for i in range(8)) for r in sig.collect()}
+    assert rows[0] == rows[2]
+    assert rows[0] != rows[3]
+    # near-dups share most minhashes (probabilistic but deterministic
+    # given fixed hash family + inputs)
+    shared = sum(a == b for a, b in zip(rows[0], rows[1]))
+    assert shared >= 4
+
+
+def test_minhash_lsh_finds_dups(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_candidates(docs).collect()}
+    assert (0, 2) in pairs
+    assert (3, 4) not in pairs
+
+
+def test_simhash_hamming(spark, docs):
+    out = docs.select("doc_id", simhash("text", bits=64).alias("sh"))
+    sh = {r["doc_id"]: r["sh"] for r in out.collect()}
+    assert sh[0] == sh[2]
+    pairs = spark.createDataFrame(
+        [(sh[0], sh[1], sh[3])], "a long, b long, c long"
+    ).select(
+        hamming64(F.col("a"), F.col("b")).alias("near"),
+        hamming64(F.col("a"), F.col("c")).alias("far"),
+    ).collect()[0]
+    assert pairs["near"] < pairs["far"]
+
+
+def test_embedding_near_dups(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),  # near 0
+        (2, [0.0, 1.0, 0.0, 0.0]),  # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(df, threshold_x1m=900_000).collect()
+    }
+    assert got == {(0, 1)}
+
+
+def test_jaccard_empty_union_is_zero(spark):
+    df = spark.createDataFrame([("", "")], "a string, b string")
+    r = df.select(
+        jaccard_x1000(shingle_hashes("a"), shingle_hashes("b")).alias("j")
+    ).collect()[0]
+    # two empty docs: single empty-string shingle each → identical sets
+    assert r["j"] in (0, 1000)

@@ -1,0 +1,91 @@
+"""Similarity search: brute-force exactness, ANN recall, determinism."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3_log_parser_spark.operators.similarity import (
+    ann_lsh_bucketed,
+    cosine_topk,
+    ivf_topk,
+    with_lsh_bucket,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+def test_topk_exact_against_numpy(spark, emb):
+    import numpy as np
+
+    rows = emb.orderBy("vec_id").collect()
+    ids = [r["vec_id"] for r in rows]
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = Mn @ Mn.T
+    q = 0
+    order = [
+        ids[j]
+        for j in np.argsort(-sims[q])
+        if ids[j] != ids[q]
+    ][:5]
+
+    got = (
+        cosine_topk(emb, emb.filter(F.col("vec_id") == ids[q]), k=5)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r["c_id"] for r in got] == order
+
+
+def test_topk_deterministic_ranking(spark, emb):
+    a = cosine_topk(emb, emb.filter("vec_id < 3"), k=5).collect()
+    b = cosine_topk(emb.repartition(7), emb.filter("vec_id < 3"), k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ann_results_subset_of_bucket_and_ranked(spark, emb):
+    q = emb.filter("vec_id < 5")
+    out = ann_lsh_bucketed(emb, q, k=3, n_planes=4, dim=32)
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["q_id"] != r["c_id"]
+    # per-query ranks are 1..n without gaps
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ann_recall_reasonable(spark, emb):
+    """LSH with 4 planes keeps decent top-1 recall on 50 queries."""
+    q = emb.filter("vec_id < 50")
+    exact = {
+        r["q_id"]: r["c_id"]
+        for r in cosine_topk(emb, q, k=1).collect()
+    }
+    ann = {
+        r["q_id"]: r["c_id"]
+        for r in ann_lsh_bucketed(emb, q, k=1, n_planes=4, dim=32).collect()
+    }
+    hits = sum(1 for k in exact if ann.get(k) == exact[k])
+    assert hits / len(exact) >= 0.3  # approximate, but far above random
+
+
+def test_lsh_bucket_deterministic(spark, emb):
+    a = with_lsh_bucket(emb, n_planes=4, dim=32).select("vec_id", "lsh_bucket")
+    b = with_lsh_bucket(emb.repartition(5), n_planes=4, dim=32).select(
+        "vec_id", "lsh_bucket"
+    )
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_ivf_shapes(spark, emb):
+    out = ivf_topk(emb, emb.filter("vec_id < 3"), k=3, n_cells=8, nprobe=2)
+    rows = out.collect()
+    assert {r["q_id"] for r in rows} == {0, 1, 2}
+    for r in rows:
+        assert 1 <= r["rank"] <= 3

@@ -1,0 +1,62 @@
+"""Structured-streaming router: file-source micro-batch → per-sink tables."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3_log_parser_spark.schemas import TRANSCRIPT_SCHEMA
+from s3_log_parser_spark.sources.catalog import Catalog
+from s3_log_parser_spark.streaming.stream import build_slim_stream, start_router
+
+
+@pytest.fixture(scope="module")
+def stream_dirs(spark, transcripts, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("stream_src"))
+    out = str(tmp_path_factory.mktemp("stream_out"))
+    ckpt = str(tmp_path_factory.mktemp("stream_ckpt"))
+    transcripts.write.mode("overwrite").parquet(src)
+    return src, out, ckpt
+
+
+def test_stream_router_end_to_end(spark, transcripts, stream_dirs):
+    src, out, ckpt = stream_dirs
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src)
+    slim = build_slim_stream(stream)
+    q = start_router(slim, out, ckpt, trigger_once=True)
+    q.awaitTermination(300)
+
+    cat = Catalog(spark, out)
+    n_total = transcripts.count()
+    n_routed = cat.read("by_tool").count() + cat.read("rejects").count()
+    assert n_routed == n_total
+
+    # streaming sinks match the batch pipeline's routing exactly
+    got = {
+        r["tool"]: r["c"]
+        for r in cat.read("by_tool")
+        .groupBy("tool")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    from s3_log_parser_spark.plans.pipeline import build_slim
+
+    want = {
+        r["tool"]: r["c"]
+        for r in build_slim(transcripts)
+        .filter("parse_status = 'ok'")
+        .groupBy("tool")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_resume_no_duplicates(spark, stream_dirs):
+    """restarting from the same checkpoint must not re-append data
+    (source offsets are committed → idempotent resume)."""
+    src, out, ckpt = stream_dirs
+    cat = Catalog(spark, out)
+    before = cat.read("by_tool").count()
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src)
+    q = start_router(build_slim_stream(stream), out, ckpt, trigger_once=True)
+    q.awaitTermination(300)
+    assert cat.read("by_tool").count() == before

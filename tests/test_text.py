@@ -1,0 +1,73 @@
+"""Text-analysis kernels: tokenization, quality, lang-ID, fingerprint."""
+
+from pyspark.sql import functions as F
+
+from s3_log_parser_spark.functions.hashes import djb2_py
+from s3_log_parser_spark.functions.text import (
+    bpe_token_count,
+    fingerprint,
+    lang_guess,
+    quality_features,
+    quality_score_x1000,
+    token_count,
+    tokens,
+)
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("a b  c",), ("",), ("  x  ",), ("don't stop-me now!",)], "t string"
+    )
+    got = [
+        tuple(r)
+        for r in df.select(
+            token_count("t").alias("w"), bpe_token_count("t").alias("b")
+        ).collect()
+    ]
+    assert got[0] == (3, 3)
+    assert got[1] == (0, 0)
+    assert got[2] == (1, 1)
+    # "don't stop-me now!" → don ' t stop - me now !  = 8 BPE-ish units
+    assert got[3] == (3, 8)
+
+
+def test_quality_features_deterministic(spark):
+    df = spark.createDataFrame([("the cat the cat runs",)], "t string")
+    r = df.select(
+        *[v.alias(k) for k, v in quality_features("t").items()]
+    ).collect()[0]
+    assert r["n_tokens"] == 5
+    assert r["distinct_ratio_x1000"] == 600  # 3/5
+    assert r["mean_token_len_x1000"] == 3200  # 16 chars / 5
+    assert r["stopword_ratio_x1000"] == 400  # 'the' twice
+    assert r["punct_count"] == 0
+
+
+def test_quality_score_bounds(spark, transcripts):
+    out = transcripts.select(quality_score_x1000("text").alias("q"))
+    r = out.agg(F.min("q"), F.max("q")).collect()[0]
+    assert 0 <= r[0] <= r[1] <= 10000
+
+
+def test_lang_guess(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog of a house",),
+            ("der hund und die katze nicht",),
+            ("le chat et les chiens",),
+            ("xyzzy qwerty",),
+        ],
+        "t string",
+    )
+    got = [r[0] for r in df.select(lang_guess("t")).collect()]
+    assert got == ["en", "de", "fr", "unknown"]
+
+
+def test_fingerprint_order_invariant(spark):
+    df = spark.createDataFrame(
+        [("b a c",), ("c b a",), ("a b d",)], "t string"
+    )
+    got = [r[0] for r in df.select(fingerprint("t")).collect()]
+    assert got[0] == got[1]  # same token set
+    assert got[0] != got[2]
+    assert got[0] == djb2_py("a b c")  # canonical form is sorted-distinct join
