@@ -118,9 +118,17 @@ def minhash_candidates(
     sdf = df.select(F.col(id_col).alias("id"), *sigs)
     bands = []
     for b in range(k // rows_per_band):
-        cols = [F.col(f"mh_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        cols = [
+            F.col(f"mh_{i}").alias(f"s{j}")  # uniform field names so the
+            for j, i in enumerate(  # band structs share one array type
+                range(b * rows_per_band, (b + 1) * rows_per_band)
+            )
+        ]
+        # band key is the raw signature tuple (a hash compaction like
+        # xxhash64 would be cheaper on the wire but can collide and is
+        # not reproducible by the cross-engine oracle)
         bands.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("sig"))
+            F.struct(F.lit(b).alias("band"), F.struct(*cols).alias("sig"))
         )
     exploded = sdf.select("id", F.explode(F.array(*bands)).alias("bs"))
     a, bdf = exploded.alias("a"), exploded.alias("b")

@@ -61,7 +61,7 @@ def cosine_topk(
 
 
 def with_lsh_bucket(
-    df: DataFrame, vec_col: str = "embedding", n_planes: int = 4, dim: int = 32
+    df: DataFrame, vec_col: str = "embedding", n_planes: int = 4, dim: int = 64
 ) -> DataFrame:
     return df.withColumn(
         "lsh_bucket", hyperplane_bits(F.col(vec_col), n_planes, dim)
@@ -75,16 +75,29 @@ def ann_lsh_bucketed(
     vec_col: str = "embedding",
     k: int = 5,
     n_planes: int = 4,
-    dim: int = 32,
+    dim: int = 64,
+    probe_radius: int = 1,
 ) -> DataFrame:
     """approximate top-k: candidates restricted to the query's LSH
-    bucket. Equi-join on bucket → broadcast/shuffle hash join instead
-    of a cross join; the bucket column is also the natural Iceberg
-    partition for a persisted ANN index table."""
+    bucket (multi-probe: also buckets within Hamming distance
+    ``probe_radius`` of it — the standard recall fix for sign-LSH on
+    near-orthogonal data). Equi-join on bucket → hash join instead of a
+    cross join; the bucket column is also the natural Iceberg partition
+    for a persisted ANN index table."""
     q = with_lsh_bucket(
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
         "q_vec", n_planes, dim,
     )
+    if probe_radius >= 1:
+        # probe the query's bucket plus each single-bit flip of it
+        probes = F.array(
+            F.col("lsh_bucket"),
+            *[
+                F.col("lsh_bucket").bitwiseXOR(F.lit(1 << j))
+                for j in range(n_planes)
+            ],
+        )
+        q = q.withColumn("lsh_bucket", F.explode(probes))
     c = with_lsh_bucket(
         corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")),
         "c_vec", n_planes, dim,

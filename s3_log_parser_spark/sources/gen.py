@@ -193,6 +193,69 @@ def gen_transcripts(
     return df.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
+def transcripts_from_events(events: DataFrame) -> DataFrame:
+    """Adapter: derive a transcripts fact table from the driver's
+    ``events`` table (deterministic — used by ``__spark_entry__.entry``
+    so the flagship query runs the real DAG over driver-provided data).
+
+    Mapping: user → conversation, event stream per user → turns in
+    (ts, event_id) order, event_type → role-ish/tool, and a full
+    S3-log-format text payload synthesized from event fields.
+    """
+    df = events.select(
+        F.col("event_id").alias("id"),
+        F.concat(F.lit("conv-"), F.col("user_id")).alias("conv_id"),
+        F.col("event_type").alias("tool"),
+        F.col("ts"),
+        F.col("value"),
+    )
+    role_arr = F.array(*[F.lit(r) for r in ROLES])
+    df = df.withColumn("role", role_arr[(_h(30) % 3).cast("int")])
+    df = df.withColumn("episode", (F.col("id") % 1000).cast("int"))
+    df = df.withColumn("http_code", F.when(F.col("id") % 7 == 0, 206).otherwise(200))
+    df = df.withColumn("object_size", (F.lit(15_000_000) + (_h(31) % 10_000_000)))
+    df = df.withColumn(
+        "bytes_sent",
+        F.when(F.col("http_code") == 206, _h(32) % F.col("object_size")).otherwise(
+            F.col("object_size")
+        ),
+    )
+    df = df.withColumn("total_time_ms", (_h(33) % 5000).cast("int"))
+    ua_arr = F.array(*[F.lit(u) for u in USER_AGENTS])
+    df = df.withColumn("user_agent", ua_arr[(_h(34) % len(USER_AGENTS)).cast("int")])
+    df = df.withColumn("remote_ip", F.concat(F.lit("203.0.113."), F.col("id") % 255))
+
+    key = F.format_string("/%s/episode-%d.mp3", F.col("tool"), F.col("episode"))
+    ts_str = F.concat(
+        F.date_format(F.col("ts"), "dd/MMM/yyyy:HH:mm:ss"), F.lit(" +0000")
+    )
+    k = (_h(35) % 1000).cast("int")
+    text = F.format_string(
+        "%s %s [%s] %s %s %s %s %s \"%s\" %d - %d %d %d 42 \"-\" \"%s\" "
+        "v%d HOSTID%d SigV2 ECDHE-RSA-AES128-GCM-SHA256 AuthHeader "
+        "host%d.example.com TLSv1.2 arn:aws:s3:::example-AP%d false",
+        F.lit("79a59df900b949e55d96a1e698fbacedfd6e09d98eacf8f8d5218e7cd47ef2be"),
+        F.lit("event-bucket"),
+        ts_str,
+        F.col("remote_ip"),
+        F.lit("-"),
+        F.upper(F.conv(_h(36).cast("string"), 10, 16)),
+        F.lit("REST.GET.OBJECT"),
+        key,
+        F.format_string("GET %s HTTP/1.1", key),
+        F.col("http_code"),
+        F.col("bytes_sent"),
+        F.col("object_size"),
+        F.col("total_time_ms"),
+        F.col("user_agent"),
+        k, k, k, k,
+    )
+    df = df.withColumn("text", text)
+    w = Window.partitionBy("conv_id").orderBy("ts", "id")
+    df = df.withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))
+    return df.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
 def write_transcripts(df: DataFrame, path: str, buckets: int = 0) -> None:
     """Materialize the fact table. At scale the real table is Iceberg
     bucketed by conv_id (SURVEY.md §4.2); on the Parquet seam we emit

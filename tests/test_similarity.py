@@ -47,7 +47,7 @@ def test_topk_deterministic_ranking(spark, emb):
 
 def test_ann_results_subset_of_bucket_and_ranked(spark, emb):
     q = emb.filter("vec_id < 5")
-    out = ann_lsh_bucketed(emb, q, k=3, n_planes=4, dim=32)
+    out = ann_lsh_bucketed(emb, q, k=3, n_planes=4, dim=64)
     rows = out.collect()
     assert len(rows) > 0
     for r in rows:
@@ -69,15 +69,18 @@ def test_ann_recall_reasonable(spark, emb):
     }
     ann = {
         r["q_id"]: r["c_id"]
-        for r in ann_lsh_bucketed(emb, q, k=1, n_planes=4, dim=32).collect()
+        for r in ann_lsh_bucketed(emb, q, k=1, n_planes=4, dim=64).collect()
     }
     hits = sum(1 for k in exact if ann.get(k) == exact[k])
-    assert hits / len(exact) >= 0.3  # approximate, but far above random
+    # multi-probe radius 1 → ~5/16 of the corpus scanned per query;
+    # random near-orthogonal vectors are LSH's worst case, and top-1
+    # recall still clears 0.4 (vs 1/500 random baseline)
+    assert hits / len(exact) >= 0.4
 
 
 def test_lsh_bucket_deterministic(spark, emb):
-    a = with_lsh_bucket(emb, n_planes=4, dim=32).select("vec_id", "lsh_bucket")
-    b = with_lsh_bucket(emb.repartition(5), n_planes=4, dim=32).select(
+    a = with_lsh_bucket(emb, n_planes=4, dim=64).select("vec_id", "lsh_bucket")
+    b = with_lsh_bucket(emb.repartition(5), n_planes=4, dim=64).select(
         "vec_id", "lsh_bucket"
     )
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
