@@ -752,12 +752,11 @@ def _dx(spark, sf):
     """,
 )
 def _dmh(spark, sf):
-    from s3_log_parser_spark.operators.dedup import minhash_signature
+    from s3_log_parser_spark.operators.dedup import minhash_signatures_df
 
-    return (
-        _t(spark, sf, "documents")
-        .filter(F.col("doc_id") < 100)
-        .select("doc_id", *minhash_signature("text", n=3, k=8))
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return minhash_signatures_df(d, "doc_id", "text", n=3, k=8).withColumnRenamed(
+        "id", "doc_id"
     )
 
 
@@ -834,12 +833,11 @@ def _simhash_sql(bits: int = 16) -> str:
     """,
 )
 def _dsim(spark, sf):
-    from s3_log_parser_spark.operators.dedup import simhash
+    from s3_log_parser_spark.operators.dedup import simhash_df
 
-    return (
-        _t(spark, sf, "documents")
-        .filter(F.col("doc_id") < 100)
-        .select("doc_id", simhash("text", bits=16).alias("simhash16"))
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return simhash_df(d, "doc_id", "text", bits=16).select(
+        F.col("id").alias("doc_id"), F.col("simhash").alias("simhash16")
     )
 
 

@@ -1,0 +1,203 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Primary metric (BASELINE.json): turns/sec end-to-end
+parse → enrich → route → aggregate over the SF-scaled synthetic
+transcripts table, plus scaling-efficiency evidence between two
+parallelism levels. No real cluster exists in this sandbox, so the
+two "cluster sizes" are taskset-pinned core sets (N=2 vs 4N=8 —
+chosen inside the host's measured linear-scaling range; the box
+exposes 32 vCPUs but delivers only ~19 cores of real capacity at 32
+threads, see BENCH notes in BASELINE.md). Python UDF workers escape
+local[N]'s task-slot budget, so pinning is the only honest way to
+bound a leg's cores.
+
+Also times the headline operator queries from __spark_entry__ at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     cores for the main run (default 32)
+  SPARK_GRAFT_TURNS    main-leg transcript rows (default SF * 1e8)
+  BENCH_SCALING_TURNS  scaling-leg rows (default 40% of main, ≥2M)
+  BENCH_SCALING=0      skip the scaling subprocess legs
+  BENCH_QUERIES=0      skip the operator-query timings
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE_QUERIES = [
+    "tpch_q1_pricing_summary",
+    "j1_broadcast_dim_enrich",
+    "a1_group_count",
+    "st1_first_occurrence",
+    "e2_djb2_dictionary_hash",
+    "route_fanout_counts",
+    "dedup_minhash_lsh_pairs",
+    "knn_bruteforce_topk",
+    "text_quality_features",
+    "mm_media_metadata",
+]
+
+
+def sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def ensure_transcripts(spark, turns: int, out_root: str) -> str:
+    from s3_log_parser_spark.sources.gen import gen_transcripts
+
+    src = os.path.join(out_root, f"transcripts_{turns}")
+    if not os.path.isdir(os.path.join(src)) or not os.path.exists(
+        os.path.join(src, "_SUCCESS")
+    ):
+        gen_transcripts(spark, rows=turns).write.mode("overwrite").parquet(src)
+    return src
+
+
+def pipeline_run(cores: int, turns: int, out_root: str) -> dict:
+    """warmup (untimed) → timed parse→enrich→flags→route→aggregate."""
+    from s3_log_parser_spark.plans.pipeline import build_slim, run_pipeline
+    from s3_log_parser_spark.session import get_spark
+    from s3_log_parser_spark.sources.gen import gen_transcripts
+
+    spark = get_spark(app_name=f"bench-{cores}", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    src = ensure_transcripts(spark, turns, out_root)
+    transcripts = spark.read.parquet(src)
+
+    # warmup: spins Python/Arrow workers + fills codegen caches
+    build_slim(gen_transcripts(spark, rows=2000)).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    out = os.path.join(out_root, f"pipe_c{cores}")
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    res = run_pipeline(spark, transcripts, out, run_id=f"bench-c{cores}")
+    for df in res.sink_counts.values():
+        df.collect()
+    dt = time.perf_counter() - t0
+    return {
+        "cores": cores,
+        "sec": dt,
+        "turns": turns,
+        "turns_per_sec": turns / dt,
+        "stage_sec": {k: round(v, 1) for k, v in res.timings.items()},
+    }
+
+
+def run_pinned_leg(cores: int, turns: int, out_root: str) -> dict:
+    """one scaling leg in a taskset-pinned subprocess (fresh JVM)."""
+    env = dict(
+        os.environ,
+        BENCH_PIPELINE_ONLY="1",
+        SPARK_GRAFT_CPUS=str(cores),
+        SPARK_GRAFT_TURNS=str(turns),
+        BENCH_OUT=out_root,
+    )
+    cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    p = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=3600)
+    lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"leg cores={cores} failed: {p.stderr[-2000:]}")
+    return json.loads(lines[-1])
+
+
+def main() -> None:
+    sf = sf_from_dir(SF_DIR)
+    turns = int(os.environ.get("SPARK_GRAFT_TURNS", str(int(sf * 1e8))))
+    out_root = os.environ.get(
+        "BENCH_OUT", os.path.join(tempfile.gettempdir(), "spark_graft_bench")
+    )
+    os.makedirs(out_root, exist_ok=True)
+
+    if os.environ.get("BENCH_PIPELINE_ONLY"):
+        print(json.dumps(pipeline_run(CPUS, turns, out_root)))
+        return
+
+    main_leg = pipeline_run(CPUS, turns, out_root)
+
+    scaling = {}
+    if os.environ.get("BENCH_SCALING", "1") != "0":
+        s_turns = int(
+            os.environ.get("BENCH_SCALING_TURNS", str(max(2_000_000, int(turns * 0.2))))
+        )
+        # N=1 vs 4N=4: inside the host's measured linear-capacity range
+        # (the 32-vCPU VM delivers ~19 real cores and shares the box —
+        # see BASELINE.md). Best-of-R per leg de-noises neighbor load.
+        lo_c, hi_c = 1, 4
+        repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "2"))
+        legs = {}
+        for c in (hi_c, lo_c):
+            best = None
+            for _ in range(repeats):
+                leg = run_pinned_leg(c, s_turns, out_root)
+                if best is None or leg["turns_per_sec"] > best["turns_per_sec"]:
+                    best = leg
+            legs[c] = best
+        speedup = legs[hi_c]["turns_per_sec"] / legs[lo_c]["turns_per_sec"]
+        scaling = {
+            "method": (
+                "same job, same input, taskset-pinned cores, best of "
+                f"{repeats} runs per leg (no real cluster in sandbox; "
+                "shared noisy host)"
+            ),
+            "turns": s_turns,
+            f"N={lo_c}_turns_per_sec": round(legs[lo_c]["turns_per_sec"], 1),
+            f"4N={hi_c}_turns_per_sec": round(legs[hi_c]["turns_per_sec"], 1),
+            "speedup": round(speedup, 3),
+            "ideal": hi_c / lo_c,
+            "efficiency": round(speedup / (hi_c / lo_c), 3),
+        }
+
+    qtimes = {}
+    if os.environ.get("BENCH_QUERIES", "1") != "0":
+        import __spark_entry__ as entrymod
+        from s3_log_parser_spark.session import get_spark
+
+        spark = get_spark(app_name="bench-queries", cores=CPUS)
+        spark.sparkContext.setLogLevel("ERROR")
+        qs = entrymod.queries()
+        for name in HEADLINE_QUERIES:
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).count()
+            qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "pipeline_wall_sec_parse_enrich_route_aggregate",
+        "value": round(main_leg["sec"], 3),
+        "unit": "sec",
+        "sf": sf,
+        "turns": main_leg["turns"],
+        "turns_per_sec": round(main_leg["turns_per_sec"], 1),
+        "cores": main_leg["cores"],
+        "stage_sec": main_leg["stage_sec"],
+        "scaling": scaling,
+        "queries": qtimes,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

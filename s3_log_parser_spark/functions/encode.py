@@ -23,11 +23,12 @@ def encode_slim(df: DataFrame, use_udf_hash: bool = True) -> DataFrame:
 
     Expects to run after parse; enrichment (system/platform) and flags
     attach separately (operators/enrich.py, operators/flags.py).
+
+    If the parse stage was the fused one (parse_text_fused), the four
+    hash columns already exist and no further Python stage runs.
     """
     p = F.col("parsed")
     h = djb2_udf if use_udf_hash else djb2_expr
-
-    byte_start, byte_end = parse_range(p["range_header"])
 
     df = (
         df
@@ -39,11 +40,19 @@ def encode_slim(df: DataFrame, use_udf_hash: bool = True) -> DataFrame:
             "day_bucket",
             (F.col("ts_unix") / SECONDS_PER_DAY).cast("long"),
         )
+    )
+    if "ip_hash" not in df.columns:
         # E2 DJB2 dictionary hashes (src/s3parser.c:377-379)
-        .withColumn("ip_hash", h(p["remote_ip"]))
-        .withColumn("key_hash", h(p["key"]))
-        .withColumn("tool_hash", h(first_path_segment(p["key"])))
-        .withColumn("conv_hash", h(F.col("conv_id")))
+        df = (
+            df.withColumn("ip_hash", h(p["remote_ip"]))
+            .withColumn("key_hash", h(p["key"]))
+            .withColumn("tool_hash", h(first_path_segment(p["key"])))
+            .withColumn("conv_hash", h(F.col("conv_id")))
+        )
+
+    byte_start, byte_end = parse_range(p["range_header"])
+    df = (
+        df
         # E3 KB quantization (floor division by 1024)
         .withColumn(
             "bytes_sent_kb", F.floor(p["bytes_sent"] / 1024).cast("int")
@@ -71,6 +80,35 @@ def encode_slim(df: DataFrame, use_udf_hash: bool = True) -> DataFrame:
         .withColumn("object_size", p["object_size"])
     )
     return df
+
+
+def encode_slim_flat(df: DataFrame) -> DataFrame:
+    """encode stage over the flat typed columns parse_text_slim emits
+    (fast path — same derivations as encode_slim, zero struct access)."""
+    return (
+        df.withColumn("ts_unix", F.unix_timestamp(F.col("event_ts")))
+        .withColumn(
+            "day_bucket", (F.col("ts_unix") / SECONDS_PER_DAY).cast("long")
+        )
+        .withColumn("bytes_sent_kb", F.floor(F.col("bytes_sent") / 1024).cast("int"))
+        .withColumn(
+            "object_size_kb", F.floor(F.col("object_size") / 1024).cast("int")
+        )
+        .withColumn("download_time_ms", F.col("total_time_ms").cast("int"))
+        .withColumn("http_code", clamp_http_code(F.col("http_code_raw")))
+        .withColumn(
+            "http_code_u8", F.pmod(F.col("http_code"), F.lit(256)).cast("int")
+        )
+        .withColumn(
+            "completion_percent",
+            F.when(
+                F.col("object_size").isNull() | (F.col("object_size") == 0),
+                F.lit(0),
+            )
+            .otherwise(F.floor(F.col("bytes_sent") * 100 / F.col("object_size")))
+            .cast("int"),
+        )
+    )
 
 
 SLIM_COLUMNS = [

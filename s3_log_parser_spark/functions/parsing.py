@@ -27,6 +27,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from ..schemas import PARSED_FIELDS, PARSED_RAW_STRUCT
@@ -95,6 +96,199 @@ def parse_text_pandas(df: DataFrame, text_col: str = "text") -> DataFrame:
     return _typed_from_raw(parsed, text_col)
 
 
+# fused return type: raw fields + the four DJB2 dictionary hashes.
+# ONE Python/Arrow stage for the whole parse+hash step instead of five
+# (grok + 4 djb2_udf calls) — each scalar pandas UDF is its own
+# ArrowEvalPython exchange, and the Arrow (de)serialization dominated
+# the slim materialization (42s → see BENCH notes).
+_FUSED_STRUCT = T.StructType(
+    list(PARSED_RAW_STRUCT.fields)
+    + [
+        T.StructField("ip_hash", T.LongType(), True),
+        T.StructField("key_hash", T.LongType(), True),
+        T.StructField("tool_hash", T.LongType(), True),
+        T.StructField("conv_hash", T.LongType(), True),
+    ]
+)
+
+
+def parse_text_fused(
+    df: DataFrame, text_col: str = "text", conv_col: str = "conv_id"
+) -> DataFrame:
+    """grok parse + DJB2 encode in a single Arrow-batched pandas UDF.
+
+    DJB2 uses a worker-lifetime unique-value cache — the hashed columns
+    are dictionary-like (ips, tools, keys, conv ids), so amortized cost
+    is O(distinct values) per worker, not O(rows). Semantics are
+    parity-tested against djb2_py/djb2_expr (tests/test_hashes.py) and
+    extract_path (src/s3parser.c:420-477).
+    """
+
+    @pandas_udf(_FUSED_STRUCT)
+    def grok_hash(
+        it: Iterator[tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.DataFrame]:
+        import re
+
+        from .hashes import djb2_py
+
+        pat = re.compile(S3_LINE_PATTERN)
+        seg_re = re.compile(r"^/?([^/]*)")
+        cols = [n for n, _ in PARSED_FIELDS]
+        cache: dict = {}
+        CACHE_CAP = 2_000_000  # bound worker memory on adversarial keys
+
+        def h(v):
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                return 5381
+            r = cache.get(v)
+            if r is None:
+                r = djb2_py(v)
+                if len(cache) < CACHE_CAP:
+                    cache[v] = r
+            return r
+
+        def seg_h(v):
+            # extract_path semantics: NULL/'' → seed, else hash of the
+            # first path segment
+            if v is None or (isinstance(v, float) and pd.isna(v)) or v == "":
+                return 5381
+            m = seg_re.match(v)
+            return h(m.group(1))
+
+        for text, conv in it:
+            out = text.str.extract(pat)
+            out = out[cols]
+            out["ip_hash"] = out["remote_ip"].map(h).astype("int64")
+            out["key_hash"] = out["key"].map(h).astype("int64")
+            out["tool_hash"] = out["key"].map(seg_h).astype("int64")
+            out["conv_hash"] = conv.map(h).astype("int64")
+            yield out
+
+    parsed = df.withColumn("_raw", grok_hash(F.col(text_col), F.col(conv_col)))
+    return _typed_from_raw(parsed, text_col, extra_fields=True)
+
+
+# minimal fused output: only what the slim table needs crosses Arrow.
+# The full 27-field struct costs ~600 B/row of Arrow transfer + struct
+# assembly; the pipeline only consumes these typed columns (the full
+# struct path stays for the byte-exact round-trip invariant).
+_SLIM_PARSE_STRUCT = T.StructType(
+    [
+        T.StructField("event_ts", T.TimestampType(), True),
+        T.StructField("parse_status", T.StringType(), False),
+        T.StructField("ip_hash", T.LongType(), False),
+        T.StructField("key_hash", T.LongType(), False),
+        T.StructField("tool_hash", T.LongType(), False),
+        T.StructField("conv_hash", T.LongType(), False),
+        T.StructField("http_code_raw", T.IntegerType(), True),
+        T.StructField("bytes_sent", T.LongType(), True),
+        T.StructField("object_size", T.LongType(), True),
+        T.StructField("total_time_ms", T.IntegerType(), True),
+        T.StructField("byte_start", T.LongType(), True),
+        T.StructField("byte_end", T.LongType(), True),
+        T.StructField("user_agent", T.StringType(), True),
+    ]
+)
+
+
+def parse_text_slim(
+    df: DataFrame, text_col: str = "text", conv_col: str = "conv_id"
+) -> DataFrame:
+    """Hot-path fused parse: grok + DJB2 + timestamp + range decode in
+    one Arrow-batched pandas UDF, returning ONLY the narrow typed
+    columns the slim table consumes.
+
+    Semantics identical to parse_text_pandas → encode_slim (pinned by
+    tests/test_pipeline.py::test_fused_equals_modular); the timestamp
+    parse honors %z and lands UTC (the reference's local-time mktime
+    bug is deliberately not reproduced — SURVEY.md §2.2 P2).
+    """
+
+    @pandas_udf(_SLIM_PARSE_STRUCT)
+    def grok_slim(
+        it: Iterator[tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.DataFrame]:
+        import re
+
+        import numpy as np
+
+        from .hashes import djb2_py
+
+        pat = re.compile(S3_LINE_PATTERN)
+        seg_re = re.compile(r"^/?([^/]*)")
+        rng_re = re.compile(r"bytes=?(\d+)-(\d+)")
+        cache: dict = {}
+        CACHE_CAP = 2_000_000
+
+        def h(v):
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                return 5381
+            r = cache.get(v)
+            if r is None:
+                r = djb2_py(v)
+                if len(cache) < CACHE_CAP:
+                    cache[v] = r
+            return r
+
+        def seg_h(v):
+            if v is None or (isinstance(v, float) and pd.isna(v)) or v == "":
+                return 5381
+            return h(seg_re.match(v).group(1))
+
+        def rng(v, g):
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                return None
+            m = rng_re.search(v)
+            return int(m.group(g)) if m else None
+
+        for text, conv in it:
+            raw = text.str.extract(pat)
+            ts = pd.to_datetime(
+                raw["ts_str"], format="%d/%b/%Y:%H:%M:%S %z", errors="coerce", utc=True
+            )
+            status = np.where(
+                raw["owner"].isna(),
+                "bad_format",
+                np.where(ts.isna() & raw["ts_str"].notna(), "bad_time", "ok"),
+            )
+            out = pd.DataFrame(
+                {
+                    "event_ts": ts,
+                    "parse_status": status,
+                    "ip_hash": raw["remote_ip"].map(h).astype("int64"),
+                    "key_hash": raw["key"].map(h).astype("int64"),
+                    "tool_hash": raw["key"].map(seg_h).astype("int64"),
+                    "conv_hash": conv.map(h).astype("int64"),
+                    "http_code_raw": pd.to_numeric(
+                        raw["http_code"], errors="coerce"
+                    ).astype("Int32"),
+                    "bytes_sent": pd.to_numeric(
+                        raw["bytes_sent"], errors="coerce"
+                    ).astype("Int64"),
+                    "object_size": pd.to_numeric(
+                        raw["object_size"], errors="coerce"
+                    ).astype("Int64"),
+                    "total_time_ms": pd.to_numeric(
+                        raw["total_time_ms"], errors="coerce"
+                    ).astype("Int32"),
+                    "byte_start": raw["range_header"]
+                    .map(lambda v: rng(v, 1))
+                    .astype("Int64"),
+                    "byte_end": raw["range_header"]
+                    .map(lambda v: rng(v, 2))
+                    .astype("Int64"),
+                    "user_agent": raw["user_agent"],
+                }
+            )
+            yield out
+
+    p = df.withColumn("_p", grok_slim(F.col(text_col), F.col(conv_col)))
+    for f in _SLIM_PARSE_STRUCT.fields:
+        p = p.withColumn(f.name, F.col("_p")[f.name])
+    return p.drop("_p")
+
+
 def parse_text_sql(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Catalyst-only variant: regexp_extract per field, same pattern.
 
@@ -117,9 +311,16 @@ def parse_text_sql(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _typed_from_raw(
-    df: DataFrame, text_col: str, empty_range_is_null: bool = False
+    df: DataFrame,
+    text_col: str,
+    empty_range_is_null: bool = False,
+    extra_fields: bool = False,
 ) -> DataFrame:
-    """Shared cast + parse_status derivation from the raw string struct."""
+    """Shared cast + parse_status derivation from the raw string struct.
+
+    ``extra_fields``: the fused UDF also carries the four DJB2 hash
+    columns — surface them as top-level columns.
+    """
     r = F.col("_raw")
     fields: list[Column] = []
     for name, typ in PARSED_FIELDS:
@@ -140,9 +341,11 @@ def _typed_from_raw(
             .when(r["ts_str"].isNotNull() & ts.isNull(), F.lit("bad_time"))
             .otherwise(F.lit("ok")),
         )
-        .drop("_raw")
     )
-    return out
+    if extra_fields:
+        for h in ("ip_hash", "key_hash", "tool_hash", "conv_hash"):
+            out = out.withColumn(h, r[h])
+    return out.drop("_raw")
 
 
 def clamp_http_code(col: Column | str) -> Column:

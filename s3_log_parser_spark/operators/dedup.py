@@ -104,6 +104,35 @@ def minhash_signature(
     return sigs
 
 
+def minhash_signatures_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 8,
+) -> DataFrame:
+    """Scale-path MinHash: explode shingle hashes → ONE hash-aggregate
+    computing all K mins. The per-row array form (minhash_signature)
+    re-expands the shingle-hash expression once per signature column —
+    Catalyst's project-collapse re-inlines any manual CSE — so K=8
+    recomputed DJB2-per-char lambdas made it ~8× slower. The exploded
+    form is also the right shape at 100 TB: one shuffle keyed on the
+    (high-cardinality) doc id, map-side partial min."""
+    hs = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_hashes(text_col, n)).alias("h"),
+    )
+    aggs = []
+    for i in range(k):
+        a, b = 2 * i + 1, i * i + 7
+        aggs.append(
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(
+                f"mh_{i}"
+            )
+        )
+    return hs.groupBy("id").agg(*aggs)
+
+
 def minhash_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -114,8 +143,7 @@ def minhash_candidates(
 ) -> DataFrame:
     """LSH banding: docs sharing any band signature become candidate
     pairs (id_a < id_b). Returns distinct pairs."""
-    sigs = minhash_signature(text_col, n, k)
-    sdf = df.select(F.col(id_col).alias("id"), *sigs)
+    sdf = minhash_signatures_df(df, id_col, text_col, n, k)
     bands = []
     for b in range(k // rows_per_band):
         cols = [
@@ -202,6 +230,35 @@ def simhash(col: Column | str, bits: int = 16) -> Column:
     return out
 
 
+def simhash_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+) -> DataFrame:
+    """Scale-path SimHash: explode token hashes → one hash-aggregate
+    with ``bits`` conditional sums (same Catalyst-CSE rationale as
+    minhash_signatures_df). Returns (id, simhash)."""
+    hs = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(tokens(text_col), lambda t: djb2_expr(t))
+        ).alias("h"),
+    )
+    aggs = [
+        F.sum((F.shiftright(F.col("h"), j) % 2) * 2 - 1).alias(f"w_{j}")
+        for j in range(bits)
+    ]
+    g = hs.groupBy("id").agg(*aggs)
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        bit_val = (1 << j) if j < 63 else -(1 << 63)
+        out = out + F.when(
+            F.col(f"w_{j}") > 0, F.lit(bit_val).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return g.select("id", out.alias("simhash"))
+
+
 def hamming64(a: Column, b: Column) -> Column:
     """hamming distance between two ≤64-bit simhashes."""
     return F.bit_count(a.bitwiseXOR(b))
@@ -218,16 +275,24 @@ def embedding_near_dups(
     Baseline path: O(N²/2) — fine for verification blocks; at scale
     pre-bucket with hyperplane LSH (similarity.ann_lsh_bucketed) and
     run this within buckets only."""
-    from ..functions.vectors import cosine_x1m
+    from ..functions.vectors import dot, norm
 
-    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # norms once per ROW, not per pair — Catalyst re-expands shared
+    # expressions across the self-join, so inline cosine() would fold
+    # three O(dim) passes into every one of the N²/2 pairs
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nrm"),
+    )
     a, b = v.alias("a"), v.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cosine_x1m(F.col("a.v"), F.col("b.v")).alias("cosine_x1m"),
+            F.floor(cos * 1_000_000).cast("long").alias("cosine_x1m"),
         )
         .filter(F.col("cosine_x1m") >= threshold_x1m)
     )

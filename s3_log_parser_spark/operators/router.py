@@ -64,21 +64,66 @@ def route_and_write(
     first and routes from the columnar re-read — cheaper than caching
     raw text at 100 TB, and it IS the checkpoint).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     routes = routes if routes is not None else default_routes()
-    counts: dict[str, DataFrame] = {}
-    for r in routes:
+
+    # consolidated counts: ONE aggregate pass over slim computes the
+    # (status × tool × role × day) base cube, and every sink's counts
+    # are derived from that tiny frame — replaces one full column scan
+    # per sink with driver-local arithmetic. Falls back per-route when
+    # a custom route's predicate/key needs columns outside the base.
+    base_cols = ["parse_status", "tool", "role", "day_bucket"]
+    base = None
+    if all(set(r.group_key) <= set(base_cols) for r in routes):
+        base = (
+            slim.groupBy(*base_cols)
+            .agg(F.count("*").alias("_n"))
+            .cache()
+        )
+        base.count()  # materialize once
+
+    def counts_for(r: Route, routed) -> DataFrame:
+        if base is not None:
+            try:
+                filt = base.filter(r.predicate(base))
+                if r.group_key:
+                    return filt.groupBy(*r.group_key).agg(
+                        F.sum("_n").cast("long").alias("count")
+                    )
+                return filt.agg(
+                    F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("count")
+                )
+            except Exception:  # predicate needs non-base columns
+                pass
+        if r.group_key:
+            return group_count(routed, *r.group_key)
+        return routed.agg(F.count("*").alias("count"))
+
+    def write_one(r: Route) -> None:
         routed = slim.filter(r.predicate(slim))
         stage = f"sink:{r.name}"
         if skip is None or not skip(stage):
             catalog.write(routed, r.name, mode=mode, partition_by=r.partition_by)
-            c = group_count(routed, *r.group_key) if r.group_key else routed.agg(
-                F.count("*").alias("count")
-            )
-            catalog.write(c, f"{r.name}_counts", mode=mode)
+            catalog.write(counts_for(r, routed), f"{r.name}_counts", mode=mode)
             if on_done is not None:
                 on_done(stage)
-        counts[r.name] = catalog.read(f"{r.name}_counts")
-    return counts
+
+    # sinks are independent jobs — submit concurrently so the Spark
+    # scheduler fills cores across their scan/write barriers (threads
+    # share the SparkSession; each .write blocks its own thread only).
+    # Two at a time: enough to hide write barriers, not enough to
+    # oversubscribe the executor cores with competing stages.
+    import os as _os
+
+    workers = int(_os.environ.get("ROUTER_CONCURRENCY", "2"))
+    with ThreadPoolExecutor(max_workers=max(1, workers)) as ex:
+        futures = {r.name: ex.submit(write_one, r) for r in routes}
+        for f in futures.values():
+            f.result()
+    if base is not None:
+        base.unpersist()
+    return {r.name: catalog.read(f"{r.name}_counts") for r in routes}
 
 
 def routed_union_equals_source(

@@ -20,7 +20,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_x1m, hyperplane_bits
+from ..functions.vectors import cosine_x1m, dot, hyperplane_bits, norm
+
+
+def _with_norm(df, vec, out="nrm"):
+    return df.withColumn(out, norm(F.col(vec)))
+
+
+def _cos_x1m(a_vec, b_vec, a_nrm, b_nrm):
+    # identical FP ops to cosine_x1m, but the per-row norms are
+    # precomputed once instead of re-expanded into every pair
+    return F.floor(
+        dot(a_vec, b_vec) / (a_nrm * b_nrm) * 1_000_000
+    ).cast("long")
 
 
 def cosine_topk(
@@ -35,11 +47,13 @@ def cosine_topk(
     Deterministic ordering: (cosine_x1m DESC, candidate id ASC) — the
     integer-scaled cosine makes rank stable across engines.
     """
-    q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    q = _with_norm(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
+        "q_vec", "q_nrm",
     )
-    c = corpus.select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    c = _with_norm(
+        corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")),
+        "c_vec", "c_nrm",
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -47,7 +61,9 @@ def cosine_topk(
         .select(
             "q_id",
             "c_id",
-            cosine_x1m(F.col("q_vec"), F.col("c_vec")).alias("cosine_x1m"),
+            _cos_x1m(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_nrm"), F.col("c_nrm")
+            ).alias("cosine_x1m"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(
@@ -84,9 +100,14 @@ def ann_lsh_bucketed(
     near-orthogonal data). Equi-join on bucket → hash join instead of a
     cross join; the bucket column is also the natural Iceberg partition
     for a persisted ANN index table."""
-    q = with_lsh_bucket(
-        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
-        "q_vec", n_planes, dim,
+    q = _with_norm(
+        with_lsh_bucket(
+            queries.select(
+                F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+            ),
+            "q_vec", n_planes, dim,
+        ),
+        "q_vec", "q_nrm",
     )
     if probe_radius >= 1:
         # probe the query's bucket plus each single-bit flip of it
@@ -98,9 +119,14 @@ def ann_lsh_bucketed(
             ],
         )
         q = q.withColumn("lsh_bucket", F.explode(probes))
-    c = with_lsh_bucket(
-        corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")),
-        "c_vec", n_planes, dim,
+    c = _with_norm(
+        with_lsh_bucket(
+            corpus.select(
+                F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+            ),
+            "c_vec", n_planes, dim,
+        ),
+        "c_vec", "c_nrm",
     )
     scored = (
         c.join(F.broadcast(q), "lsh_bucket")
@@ -108,7 +134,9 @@ def ann_lsh_bucketed(
         .select(
             "q_id",
             "c_id",
-            cosine_x1m(F.col("q_vec"), F.col("c_vec")).alias("cosine_x1m"),
+            _cos_x1m(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_nrm"), F.col("c_nrm")
+            ).alias("cosine_x1m"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(

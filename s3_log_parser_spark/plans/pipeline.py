@@ -42,17 +42,43 @@ def build_slim(
     transcripts: DataFrame,
     use_sql_parser: bool = False,
     use_udf_hash: bool = True,
+    fused: bool = True,
+    arrow: bool = True,
 ) -> DataFrame:
-    """The logical plan for transcripts → slim (no writes, no actions)."""
-    parse = parse_text_sql if use_sql_parser else parse_text_pandas
-    df = parse(transcripts, "text")
-    df = encode_slim(df, use_udf_hash=use_udf_hash)
-    # E7/E8: pattern banks are compile-time constants → CASE WHEN chains
-    # (whole-stage codegen); the data-driven dims (role/tool) go through
-    # real broadcast hash joins.
-    df = classify_when(
-        df.withColumn("user_agent", F.col("parsed")["user_agent"])
-    ).drop("user_agent")
+    """The logical plan for transcripts → slim (no writes, no actions).
+
+    Default path is the Arrow-native fused parse (mapInArrow + RE2 +
+    dictionary-encoded DJB2) — exactly ONE vectorized stage, zero
+    per-row Python objects (north_rule). ``arrow=False`` selects the
+    pandas fused UDF; ``use_sql_parser`` the zero-Python Catalyst
+    variant (cross-check paths, all equality-pinned in tests).
+    """
+    if fused and not use_sql_parser:
+        from ..functions.encode import encode_slim_flat
+
+        if arrow:
+            from ..functions.parsing_arrow import parse_text_arrow
+
+            df = parse_text_arrow(transcripts, "text", "conv_id")
+        else:
+            from ..functions.parsing import parse_text_slim
+
+            df = parse_text_slim(transcripts, "text", "conv_id")
+        df = encode_slim_flat(df)
+        df = classify_when(df).drop("user_agent")
+    else:
+        if use_sql_parser:
+            df = parse_text_sql(transcripts, "text")
+            df = encode_slim(df, use_udf_hash=False)
+        else:
+            df = parse_text_pandas(transcripts, "text")
+            df = encode_slim(df, use_udf_hash=use_udf_hash)
+        # E7/E8: pattern banks are compile-time constants → CASE WHEN
+        # chains (whole-stage codegen); the data-driven dims (role/tool)
+        # go through real broadcast hash joins.
+        df = classify_when(
+            df.withColumn("user_agent", F.col("parsed")["user_agent"])
+        ).drop("user_agent")
     df = enrich_role_tool(df)
     df = with_flags(df)
     return df.select(*SLIM_COLUMNS)

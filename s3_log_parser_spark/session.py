@@ -52,7 +52,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # 64 MB scan splits (vs 128 MB default): the parse stage is
+        # CPU-bound Python over *compressed* text (snappy packs ~10×),
+        # so smaller bins keep every core fed on modest inputs; Spark's
+        # own maxSplitBytes = min(this, max(openCost, size/parallelism))
+        # already adapts downward, and AQE re-coalesces shuffle stages.
+        .config("spark.sql.files.maxPartitionBytes", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

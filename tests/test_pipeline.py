@@ -104,6 +104,19 @@ def test_resume_skips_completed_and_is_idempotent(spark, transcripts, tmp_path):
     assert m.complete("slim")
 
 
+def test_parser_paths_agree(spark, transcripts):
+    """the three parse implementations — Arrow-native fused (hot path),
+    pandas fused, and modular pandas+encode — produce identical slim
+    tables (exceptAll both ways empty)."""
+    arrow = build_slim(transcripts, arrow=True)
+    pandas_fused = build_slim(transcripts, arrow=False)
+    modular = build_slim(transcripts, fused=False)
+    assert arrow.exceptAll(pandas_fused).isEmpty()
+    assert pandas_fused.exceptAll(arrow).isEmpty()
+    assert arrow.exceptAll(modular).isEmpty()
+    assert modular.exceptAll(arrow).isEmpty()
+
+
 def test_no_python_udf_outside_parse(spark, transcripts):
     """north_rule 'no per-row Python': the DAG's only Python is the
     Arrow-batched grok/DJB2 stage; verify the SQL-parser variant plans
