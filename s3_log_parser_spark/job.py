@@ -1,0 +1,136 @@
+"""CLI entrypoint — the spark-submit analog of the reference's two
+binaries (``s3lp`` parse/encode + ``s3_extract`` group/export,
+``/root/reference/src/s3driver.c:14-149`` and ``src/s3extract.c:5-109``).
+
+Ship:  spark-submit --py-files s3_log_parser_spark.zip job.py ...
+
+Subcommands:
+  gen      — synthesize a transcripts table (fake_logs analog, S7)
+  parse    — transcripts → slim table (+ optional csv/json mirror: the
+             reference's -t b/c output-format switch, s3driver.c:74-87)
+  extract  — slim table → grouped export (the -g p|i|t|n switch,
+             s3extract.c:39-62): counts + (optionally) grouped members
+  run      — full parse → enrich → route → aggregate DAG with
+             manifest resume (the production pipeline)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _spark(args):
+    from .session import get_spark
+
+    return get_spark(
+        app_name=f"s3lp-spark:{args.cmd}",
+        cores=getattr(args, "cores", None) or None,
+    )
+
+
+def cmd_gen(args) -> None:
+    from .sources.gen import gen_transcripts
+
+    spark = _spark(args)
+    df = gen_transcripts(spark, rows=args.rows)
+    df.write.mode("overwrite").parquet(args.output)
+    print(f"wrote {args.rows} turns to {args.output}")
+
+
+def cmd_parse(args) -> None:
+    from .plans.pipeline import build_slim
+
+    spark = _spark(args)
+    t = spark.read.parquet(args.input)
+    slim = build_slim(t)
+    if args.format == "parquet":
+        slim.write.mode("overwrite").parquet(args.output)
+    elif args.format == "csv":  # S3 sink (output_CSV, s3parser.c:701-717)
+        slim.write.mode("overwrite").option("header", True).csv(args.output)
+    elif args.format == "json":  # S5 flat JSON (s3extract.c:223-249)
+        slim.write.mode("overwrite").json(args.output)
+    print(f"parsed {args.input} -> {args.output} ({args.format})")
+
+
+def cmd_extract(args) -> None:
+    from pyspark.sql import functions as F
+
+    from .operators.aggregate import group_count, grouped_export
+
+    spark = _spark(args)
+    slim = spark.read.parquet(args.input)
+    key = {
+        "p": "tool_hash",  # GROUP_PODCAST (s3extract.c:152-154)
+        "i": "ip_hash",  # GROUP_IP (:155-157)
+        "t": "day_bucket",  # GROUP_TIME (:158-160)
+        "n": None,  # GROUP_NONE (flat)
+    }[args.group_by]
+    if key is None:
+        out = slim
+    elif args.members:
+        # the reference's grouped-JSON shape (count + member rows);
+        # only sane with a per-group cap at scale
+        out = grouped_export(slim, key, max_rows_per_group=args.member_cap)
+    else:
+        out = group_count(slim, key)
+    if args.format == "json":
+        out.write.mode("overwrite").json(args.output)
+    else:
+        out.write.mode("overwrite").parquet(args.output)
+    print(f"extracted {args.input} grouped by {args.group_by} -> {args.output}")
+
+
+def cmd_run(args) -> None:
+    from .plans.pipeline import run_pipeline
+
+    spark = _spark(args)
+    t = spark.read.parquet(args.input)
+    res = run_pipeline(spark, t, args.output, run_id=args.run_id)
+    for name, df in sorted(res.sink_counts.items()):
+        n = df.count()
+        print(f"sink {name}: {n} aggregate rows")
+    print(f"timings: { {k: round(v, 1) for k, v in res.timings.items()} }")
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="s3lp-spark")
+    p.add_argument("--cores", help="local[N] cores (default: all)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen", help="synthesize transcripts")
+    g.add_argument("-n", "--rows", type=int, default=1_000_000)
+    g.add_argument("-o", "--output", required=True)
+
+    pa = sub.add_parser("parse", help="transcripts -> slim")
+    pa.add_argument("-f", "--input", required=True)
+    pa.add_argument("-o", "--output", required=True)
+    pa.add_argument(
+        "-t", "--format", choices=["parquet", "csv", "json"], default="parquet",
+        help="output format (reference -t b/c switch)",
+    )
+
+    ex = sub.add_parser("extract", help="slim -> grouped export")
+    ex.add_argument("-f", "--input", required=True)
+    ex.add_argument("-o", "--output", required=True)
+    ex.add_argument(
+        "-g", "--group-by", choices=["p", "i", "t", "n"], default="n",
+        help="podcast/tool | ip | time | none (reference -g switch)",
+    )
+    ex.add_argument("--members", action="store_true", help="materialize group members")
+    ex.add_argument("--member-cap", type=int, default=1000)
+    ex.add_argument("-t", "--format", choices=["parquet", "json"], default="json")
+
+    r = sub.add_parser("run", help="full pipeline with resume")
+    r.add_argument("-f", "--input", required=True)
+    r.add_argument("-o", "--output", required=True)
+    r.add_argument("--run-id", default="run-0")
+
+    args = p.parse_args(argv)
+    {"gen": cmd_gen, "parse": cmd_parse, "extract": cmd_extract, "run": cmd_run}[
+        args.cmd
+    ](args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -100,12 +100,15 @@ def route_and_write(
             return group_count(routed, *r.group_key)
         return routed.agg(F.count("*").alias("count"))
 
+    counts: dict[str, DataFrame] = {}
+
     def write_one(r: Route) -> None:
         routed = slim.filter(r.predicate(slim))
+        counts[r.name] = counts_for(r, routed)
         stage = f"sink:{r.name}"
         if skip is None or not skip(stage):
             catalog.write(routed, r.name, mode=mode, partition_by=r.partition_by)
-            catalog.write(counts_for(r, routed), f"{r.name}_counts", mode=mode)
+            catalog.write(counts[r.name], f"{r.name}_counts", mode=mode)
             if on_done is not None:
                 on_done(stage)
 
@@ -123,6 +126,9 @@ def route_and_write(
             f.result()
     if base is not None:
         base.unpersist()
+    # return lazy read-backs of the persisted counts tables — consuming
+    # them costs a tiny scan, whereas returning the computed frames
+    # would re-run the (now unpersisted) base aggregate on first use
     return {r.name: catalog.read(f"{r.name}_counts") for r in routes}
 
 
