@@ -110,22 +110,27 @@ def pipeline_run(cores: int, turns: int, out_root: str) -> dict:
     }
 
 
-def run_pinned_leg(cores: int, turns: int, out_root: str) -> dict:
-    """one scaling leg in a taskset-pinned subprocess (fresh JVM)."""
+def run_pinned_leg(executors: int, turns: int, out_root: str) -> dict:
+    """one scaling leg in a taskset-pinned subprocess (fresh JVM).
+
+    Executor model: one "executor" = 1 local[N] task slot + its Python
+    UDF worker = 2 pinned physical cores (matching how a real cluster
+    allocates pyspark worker overhead next to each executor core).
+    """
     env = dict(
         os.environ,
         BENCH_PIPELINE_ONLY="1",
-        SPARK_GRAFT_CPUS=str(cores),
+        SPARK_GRAFT_CPUS=str(executors),
         SPARK_GRAFT_TURNS=str(turns),
         BENCH_OUT=out_root,
     )
     cmd = [sys.executable, os.path.join(REPO, "bench.py")]
     if shutil.which("taskset"):
-        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        cmd = ["taskset", "-c", f"0-{2 * executors - 1}"] + cmd
     p = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=3600)
     lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
     if not lines:
-        raise RuntimeError(f"leg cores={cores} failed: {p.stderr[-2000:]}")
+        raise RuntimeError(f"leg executors={executors} failed: {p.stderr[-2000:]}")
     return json.loads(lines[-1])
 
 
@@ -148,11 +153,12 @@ def main() -> None:
         s_turns = int(
             os.environ.get("BENCH_SCALING_TURNS", str(max(2_500_000, int(turns * 0.25))))
         )
-        # N=1 vs 4N=4: inside the host's measured linear-capacity range
-        # (the 32-vCPU VM delivers ~19 real cores and shares the box —
-        # see BASELINE.md). Best-of-R per leg de-noises neighbor load.
+        # N=1 vs 4N=4 executors (2 pinned cores each): inside the
+        # host's measured linear-capacity range (the 32-vCPU VM
+        # delivers ~19 real cores and shares the box — see BASELINE.md).
+        # Best-of-R per leg de-noises neighbor load.
         lo_c, hi_c = 1, 4
-        repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "2"))
+        repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "3"))
         legs = {}
         for c in (hi_c, lo_c):
             best = None

@@ -55,7 +55,15 @@ def with_partition_metrics(df: DataFrame) -> DataFrame:
     each Arrow batch is tagged with its partition id; aggregating
     ``_lineage`` afterwards gives (partition, rows, bytes).
     """
-    schema = df.schema.add("_part_id", "int").add("_part_bytes", "long")
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("_part_id", T.IntegerType(), False),
+            T.StructField("_part_bytes", T.LongType(), False),
+        ]
+    )
 
     def tag(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext

@@ -104,7 +104,12 @@ def run_pipeline(
         manifest.mark("slim")
     timings["slim"] = time.perf_counter() - t0
 
-    # route from the columnar checkpoint, not the raw text
+    # route from the columnar checkpoint, not the raw text. (Measured:
+    # persisting slim in executor memory across the fan-out LOSES to
+    # re-scanning the freshly written parquet here — OS page cache +
+    # columnar decode beat MEMORY_AND_DISK's serialize/deserialize. On
+    # a real cluster with remote object storage the trade flips; the
+    # catalog seam is where a cache policy would slot in.)
     slim = catalog.read("slim")
 
     t0 = time.perf_counter()
