@@ -32,6 +32,9 @@ _TABLES = (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # pin UTC: date_format/strftime comparisons against the DuckDB
+    # oracle (tz-naive) only line up when Spark renders instants in UTC
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
