@@ -22,6 +22,43 @@ def test_djb2_golden_values(spark):
     assert got == golden
 
 
+def test_golden_slim_regression(spark):
+    """the full DAG over the seed-42 10k fixture must reproduce the
+    committed golden slim table exactly (FIXTURES.md §3) — any semantic
+    drift in parse/encode/enrich/flags breaks this."""
+    from s3_log_parser_spark.plans.pipeline import build_slim
+    from s3_log_parser_spark.sources.gen import gen_transcripts
+
+    golden = spark.read.parquet(os.path.join(GOLDEN, "slim.parquet"))
+    slim = build_slim(gen_transcripts(spark, rows=10_000))
+    assert slim.exceptAll(golden).isEmpty()
+    assert golden.exceptAll(slim).isEmpty()
+
+
+def test_golden_sink_counts(spark):
+    from pyspark.sql import functions as F
+
+    from s3_log_parser_spark.plans.pipeline import build_slim
+    from s3_log_parser_spark.sources.gen import gen_transcripts
+
+    want = json.load(open(os.path.join(GOLDEN, "sink_counts.json")))
+    slim = build_slim(gen_transcripts(spark, rows=10_000))
+    ok = slim.filter("parse_status = 'ok'")
+    got = {
+        r["tool"]: r["c"]
+        for r in ok.groupBy("tool").agg(F.count("*").alias("c")).collect()
+    }
+    assert got == want["by_tool"]
+    got = {
+        r["parse_status"]: r["c"]
+        for r in slim.filter("parse_status != 'ok'")
+        .groupBy("parse_status")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert got == want["rejects"]
+
+
 def test_flags_golden_cases(spark):
     from s3_log_parser_spark.operators.flags import chunk_flags
 
