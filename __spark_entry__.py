@@ -341,28 +341,26 @@ def _e6(spark, sf):
     """,
 )
 def _e7(spark, sf):
-    # E7 shape: ordered pattern bank as broadcast theta-join + priority
-    # winner (the north_star enrichment form), verified against the
+    # E7 shape: ordered pattern bank broadcast as ONE priority-sorted
+    # array row; min-priority winner resolved by an array expression
+    # (the north_star enrichment form — zero per-row-key exchange, the
+    # only shuffle is the final tiny group-count), verified against the
     # CASE WHEN oracle
-    from s3_log_parser_spark.operators.enrich import enrich_broadcast  # noqa: F401
+    from s3_log_parser_spark.operators.enrich import bank_winner
 
     docs = _t(spark, sf, "documents")
     bank = spark.createDataFrame(
         [("spark", 1, 0), ("window", 2, 1), ("merge", 3, 2), ("vector", 4, 3)],
         "pattern string, sid int, priority int",
+    ).agg(
+        F.sort_array(
+            F.collect_list(F.struct("priority", "pattern", F.col("sid")))
+        ).alias("_bank")
     )
-    j = docs.join(
-        F.broadcast(bank), F.col("text").contains(F.col("pattern")), "left"
+    enriched = docs.join(F.broadcast(bank)).select(
+        bank_winner(F.col("text"), F.col("_bank"), 0).cast("long").alias("system_id")
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("priority").asc_nulls_last())
-    first = (
-        j.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "doc_id", F.coalesce(F.col("sid"), F.lit(0)).cast("long").alias("system_id")
-        )
-    )
-    return first.groupBy("system_id").agg(F.count("*").alias("count"))
+    return enriched.groupBy("system_id").agg(F.count("*").alias("count"))
 
 
 @q(
@@ -844,6 +842,26 @@ def _dsim(spark, sf):
     )
 
 
+def _lsh_weights(k: int, dim: int) -> list[list[int]]:
+    return [
+        [((k_ * 2654435761 + j * 40503) % 2001) - 1000 for j in range(dim)]
+        for k_ in range(k)
+    ]
+
+
+def _lsh_bucket_sql(vec: str, n_planes: int = 4, dim: int = 64) -> str:
+    ws = _lsh_weights(n_planes, dim)
+    terms = []
+    for kk in range(n_planes):
+        wlit = "[" + ", ".join(str(w) for w in ws[kk]) + "]"
+        s = (
+            f"list_reduce(list_transform(generate_series(1, {dim}), "
+            f"i -> {vec}[i]::DOUBLE * ({wlit}::DOUBLE[])[i]), (x, y) -> x + y)"
+        )
+        terms.append(f"(CASE WHEN {s} > 0 THEN {1 << kk} ELSE 0 END)")
+    return " + ".join(terms)
+
+
 # fold-left cosine fragments (index-order summation == Spark aggregate())
 def _dot_sql(a: str, b: str) -> str:
     return (
@@ -860,6 +878,39 @@ def _cos_x1m_sql(a: str, b: str) -> str:
 
 
 @q(
+    "dedup_simhash_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_toks_sql('text')} AS tk FROM documents
+    ), th AS (
+      SELECT doc_id, list_transform(tk, t -> {_djb2_sql('t')}) AS hs FROM toks
+    ), sh AS (
+      SELECT doc_id, CAST({_simhash_sql(16)} AS BIGINT) AS sh FROM th
+    ), bands AS (
+      SELECT doc_id, sh, 0 AS band, (sh >> 0) & 15 AS val FROM sh UNION ALL
+      SELECT doc_id, sh, 1, (sh >> 4) & 15 FROM sh UNION ALL
+      SELECT doc_id, sh, 2, (sh >> 8) & 15 FROM sh UNION ALL
+      SELECT doc_id, sh, 3, (sh >> 12) & 15 FROM sh
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """,
+)
+def _dsimp(spark, sf):
+    # SimHash banding: hamming-≤3 candidate pairs via 4×4-bit band
+    # bucketing (lossless by pigeonhole) + exact hamming verify
+    from s3_log_parser_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        bits=16, band_bits=4, max_hamming=3,
+    ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+@q(
     "dedup_embedding_cosine",
     f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -873,6 +924,34 @@ def _demb(spark, sf):
 
     return embedding_near_dups(
         _t(spark, sf, "embeddings"), threshold_x1m=250_000
+    )
+
+
+@q(
+    "dedup_embedding_lsh",
+    f"""
+    WITH v AS (
+      SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bkt
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_cos_x1m_sql('a.embedding', 'b.embedding')} AS cosine_x1m
+    FROM v a JOIN v b
+      ON list_contains([a.bkt, xor(a.bkt, 1), xor(a.bkt, 2),
+                        xor(a.bkt, 4), xor(a.bkt, 8)], b.bkt)
+         AND a.vec_id < b.vec_id
+    WHERE {_cos_x1m_sql('a.embedding', 'b.embedding')} >= 250000
+    """,
+)
+def _demb_lsh(spark, sf):
+    # the 100 TB dedup path: LSH-bucketed corpus×corpus self-join
+    # (+XOR-1 probes) — no broadcast, no all-pairs; recall vs the
+    # brute-force query is pinned in tests/test_dedup.py
+    from s3_log_parser_spark.operators.dedup import embedding_near_dups_bucketed
+
+    return embedding_near_dups_bucketed(
+        _t(spark, sf, "embeddings"),
+        threshold_x1m=250_000, n_planes=4, dim=64, probe_radius=1,
     )
 
 
@@ -899,26 +978,6 @@ def _knn(spark, sf):
     return out.select("q_id", F.col("rank").cast("long").alias("rank"), "c_id", "cosine_x1m")
 
 
-def _lsh_weights(k: int, dim: int) -> list[list[int]]:
-    return [
-        [((k_ * 2654435761 + j * 40503) % 2001) - 1000 for j in range(dim)]
-        for k_ in range(k)
-    ]
-
-
-def _lsh_bucket_sql(vec: str, n_planes: int = 4, dim: int = 64) -> str:
-    ws = _lsh_weights(n_planes, dim)
-    terms = []
-    for kk in range(n_planes):
-        wlit = "[" + ", ".join(str(w) for w in ws[kk]) + "]"
-        s = (
-            f"list_reduce(list_transform(generate_series(1, {dim}), "
-            f"i -> {vec}[i]::DOUBLE * ({wlit}::DOUBLE[])[i]), (x, y) -> x + y)"
-        )
-        terms.append(f"(CASE WHEN {s} > 0 THEN {1 << kk} ELSE 0 END)")
-    return " + ".join(terms)
-
-
 @q(
     "ann_lsh_buckets",
     f"""
@@ -934,20 +993,93 @@ def _annb(spark, sf):
     ).select("vec_id", F.col("lsh_bucket").cast("long").alias("lsh_bucket"))
 
 
-@q("ann_lsh_topk")  # approximate search: rows-only vs oracle (recall is
-def _annk(spark, sf):  # pinned by tests/test_similarity.py instead)
+@q(
+    "ann_lsh_topk",
+    f"""
+    WITH cb AS (
+      SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bkt
+      FROM embeddings
+    ), qb AS (
+      SELECT vec_id, embedding,
+             [bkt, xor(bkt, 1), xor(bkt, 2), xor(bkt, 4), xor(bkt, 8)] AS probes
+      FROM cb WHERE vec_id < 5
+    )
+    SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, cosine_x1m FROM (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             {_cos_x1m_sql('q.embedding', 'c.embedding')} AS cosine_x1m,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_cos_x1m_sql('q.embedding', 'c.embedding')} DESC,
+                        c.vec_id ASC) AS rank
+      FROM qb q JOIN cb c
+        ON list_contains(q.probes, c.bkt) AND q.vec_id != c.vec_id)
+    WHERE rank <= 5
+    """,
+)
+def _annk(spark, sf):
+    # fully deterministic (integer hyperplanes + integer cosine +
+    # id tie-break) → exact DuckDB oracle; recall vs brute force is
+    # additionally pinned by tests/test_similarity.py
     from s3_log_parser_spark.operators.similarity import ann_lsh_bucketed
 
     emb = _t(spark, sf, "embeddings")
-    return ann_lsh_bucketed(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    out = ann_lsh_bucketed(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    return out.select(
+        "q_id", F.col("rank").cast("long").alias("rank"), "c_id", "cosine_x1m"
+    )
 
 
-@q("ivf_topk")  # approximate: rows-only
+_IVF_CENT_RANK_SQL = "((vec_id::BIGINT % 2147483648) * 2654435761) % 4294967296"
+
+
+@q(
+    "ivf_topk",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cent_id, embedding AS cent_vec
+      FROM embeddings
+      ORDER BY {_IVF_CENT_RANK_SQL}, vec_id
+      LIMIT 8
+    ), cassign AS (
+      SELECT vec_id AS c_id, embedding AS c_vec, cent_id AS cell FROM (
+        SELECT e.vec_id, e.embedding, cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos_x1m_sql('e.embedding', 'cent_vec')} DESC,
+                          cent_id ASC) AS r
+        FROM embeddings e CROSS JOIN cent)
+      WHERE r = 1
+    ), qassign AS (
+      SELECT vec_id AS q_id, embedding AS q_vec, cent_id AS cell FROM (
+        SELECT e.vec_id, e.embedding, cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos_x1m_sql('e.embedding', 'cent_vec')} DESC,
+                          cent_id ASC) AS r
+        FROM embeddings e CROSS JOIN cent WHERE e.vec_id < 5)
+      WHERE r <= 2
+    )
+    SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, cosine_x1m FROM (
+      SELECT q_id, c_id, {_cos_x1m_sql('q_vec', 'c_vec')} AS cosine_x1m,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_id
+               ORDER BY {_cos_x1m_sql('q_vec', 'c_vec')} DESC, c_id ASC) AS rank
+      FROM (SELECT DISTINCT q.q_id, q.q_vec, c.c_id, c.c_vec
+            FROM qassign q JOIN cassign c
+              ON q.cell = c.cell AND q.q_id != c.c_id))
+    WHERE rank <= 5
+    """,
+)
 def _ivfk(spark, sf):
+    # deterministic stratified centroids (Knuth-hash pick across the id
+    # space) make the whole IVF pipeline cross-engine exact
     from s3_log_parser_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf, "embeddings")
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    out = ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, n_cells=8, nprobe=2)
+    return out.select(
+        "q_id", F.col("rank").cast("long").alias("rank"), "c_id", "cosine_x1m"
+    )
 
 
 # --- text analysis ----------------------------------------------------------
@@ -1144,21 +1276,43 @@ def _mmf(spark, sf):
     )
 
 
-# --- transcript pipeline (generator + pandas-UDF parse → rows-only) ---------
+# --- transcript pipeline (generator + Arrow-UDF parse, oracled against
+# the committed golden slim parquet of the same seed-42 10k fixture) ---------
+
+_GOLDEN_SLIM = "/root/repo/golden/slim.parquet/*.parquet"
 
 
-@q("pipeline_slim_status")  # non-SQL (pandas-UDF grok over generated turns)
+@q(
+    "pipeline_slim_status",
+    f"""
+    SELECT parse_status, CAST(flags AS BIGINT) AS flags,
+           CAST(COUNT(*) AS BIGINT) AS count
+    FROM read_parquet('{_GOLDEN_SLIM}') GROUP BY 1, 2
+    """,
+)
 def _pslim(spark, sf):
+    # Spark recomputes the full gen→parse→enrich→flags DAG; DuckDB reads
+    # the committed golden output of the identical fixture — a genuine
+    # end-to-end cross-check of the non-SQL (mapInArrow) stage
     from s3_log_parser_spark.plans.pipeline import build_slim
     from s3_log_parser_spark.sources.gen import gen_transcripts
 
-    slim = build_slim(gen_transcripts(spark, rows=20_000))
-    return slim.groupBy("parse_status", "flags").agg(
+    slim = build_slim(gen_transcripts(spark, rows=10_000))
+    return slim.groupBy("parse_status", F.col("flags").cast("long").alias("flags")).agg(
         F.count("*").alias("count")
     )
 
 
-@q("pipeline_sink_routing")  # non-SQL: full router fan-out shape
+@q(
+    "pipeline_sink_routing",
+    f"""
+    SELECT CASE WHEN parse_status != 'ok' THEN 'rejects'
+                ELSE 'ok_routes' END AS route,
+           CAST(COUNT(*) AS BIGINT) AS count,
+           CAST(COUNT(DISTINCT tool) AS BIGINT) AS n_tools
+    FROM read_parquet('{_GOLDEN_SLIM}') GROUP BY 1
+    """,
+)
 def _psink(spark, sf):
     from s3_log_parser_spark.plans.pipeline import build_slim
     from s3_log_parser_spark.sources.gen import gen_transcripts

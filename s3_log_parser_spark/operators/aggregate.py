@@ -45,15 +45,38 @@ def global_counts(df: DataFrame, *distinct_keys: str) -> DataFrame:
     return df.agg(*aggs)
 
 
-def grouped_export(df: DataFrame, key: str | Column, max_rows_per_group: int | None = None) -> DataFrame:
+def grouped_export(
+    df: DataFrame,
+    key: str | Column,
+    max_rows_per_group: int | None = None,
+    member_order: tuple[str, ...] = (),
+) -> DataFrame:
     """S6 grouped-JSON shape: key → (count, members[]). The reference
     materializes every member in RAM (s3extract.c:251-291); at scale
-    collect_list per group is only sane with a cap — members beyond the
-    cap are counted but not materialized (the router's per-sink tables
-    are the scale path, SURVEY.md §2.7)."""
-    members = F.collect_list(F.struct(*df.columns))
-    if max_rows_per_group is not None:
-        members = F.slice(members, 1, max_rows_per_group)
-    return df.groupBy(key).agg(
-        F.count("*").alias("count"), members.alias("logs")
+    collect_list per group is only sane with a cap. The cap is applied
+    BEFORE aggregation (row_number over the group, filter ≤ cap) so
+    members beyond it never enter the aggregation buffer — slicing
+    after collect_list would still materialize the whole group. The
+    true count comes from a window count over the uncapped rows.
+    (The router's per-sink tables remain the scale path, SURVEY §2.7.)
+    """
+    from pyspark.sql import Window
+
+    if max_rows_per_group is None:
+        return df.groupBy(key).agg(
+            F.count("*").alias("count"),
+            F.collect_list(F.struct(*df.columns)).alias("logs"),
+        )
+    keyc = F.col(key) if isinstance(key, str) else key
+    order = [F.col(c) for c in member_order] or [F.lit(1)]
+    w = Window.partitionBy(keyc).orderBy(*order)
+    capped = (
+        df.withColumn("_grp_n", F.count("*").over(Window.partitionBy(keyc)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_rows_per_group)
+    )
+    member_cols = [c for c in df.columns]
+    return capped.groupBy(key).agg(
+        F.max("_grp_n").alias("count"),
+        F.collect_list(F.struct(*member_cols)).alias("logs"),
     )

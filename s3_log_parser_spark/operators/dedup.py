@@ -264,6 +264,56 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    band_bits: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs via band bucketing (the LSH analog for
+    hamming space): split the B-bit signature into B/band_bits chunks;
+    by pigeonhole, any pair within hamming ≤ (n_bands − 1) shares at
+    least one intact band, so the banded equi-self-join finds EVERY
+    such pair (lossless for ``max_hamming ≤ n_bands − 1``, which the
+    defaults satisfy: 4 bands, ≤3 differing bits). Candidates are then
+    verified with the exact :func:`hamming64`.
+
+    Scale shape: explode to n_bands rows per doc → equi-join on
+    (band_idx, band_value) — band values are hash-distributed, so the
+    shuffle is uniform; no all-pairs comparison ever happens.
+    """
+    assert bits % band_bits == 0
+    n_bands = bits // band_bits
+    assert max_hamming <= n_bands - 1, "banding would miss pairs"
+    s = simhash_df(df, id_col, text_col, bits)
+    mask = (1 << band_bits) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftright(F.col("simhash"), j * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    e = s.select("id", "simhash", F.explode(bands).alias("bv"))
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, (F.col("a.bv") == F.col("b.bv")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a close pair shares several bands
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -289,6 +339,57 @@ def embedding_near_dups(
     cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.floor(cos * 1_000_000).cast("long").alias("cosine_x1m"),
+        )
+        .filter(F.col("cosine_x1m") >= threshold_x1m)
+    )
+
+
+def embedding_near_dups_bucketed(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold_x1m: int = 800_000,
+    n_planes: int = 4,
+    dim: int = 64,
+    probe_radius: int = 1,
+) -> DataFrame:
+    """The 100 TB path for embedding near-dup: corpus × corpus
+    *self*-join restricted to hyperplane-LSH buckets.
+
+    Both sides get a deterministic sign-LSH bucket
+    (similarity.with_lsh_bucket); the left side additionally probes
+    every bucket within hamming ``probe_radius`` of its own (XOR-1
+    flips), then an equi-join on bucket + exact integer-cosine verify.
+    Because hamming is symmetric and only the left side probes, each
+    qualifying (id_a < id_b) pair is produced exactly once — no
+    distinct pass needed. Neither side is broadcast and no all-pairs
+    comparison happens: cost drops from O(N²) to O(Σ bucket²) with
+    2^n_planes buckets (raise ``n_planes`` with corpus size; buckets
+    are sign-hash-distributed, so the join shuffle is uniform).
+    """
+    from ..functions.vectors import dot as _dot
+    from ..functions.vectors import norm as _norm
+    from .similarity import with_lsh_bucket
+
+    v = with_lsh_bucket(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        "v", n_planes, dim,
+    ).withColumn("nrm", _norm(F.col("v")))
+    probes = [F.col("lsh_bucket")]
+    if probe_radius >= 1:
+        probes += [
+            F.col("lsh_bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)
+        ]
+    a = v.withColumn("probe", F.explode(F.array(*probes))).drop("lsh_bucket")
+    b = v.withColumnRenamed("lsh_bucket", "probe")
+    a, b = a.alias("a"), b.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, (F.col("a.probe") == F.col("b.probe")) & (F.col("a.id") < F.col("b.id")))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),

@@ -7,12 +7,17 @@ The reference hard-codes two ordered ``contains`` pattern banks
 - :func:`classify_when` — chained ``CASE WHEN contains(...)`` — pure
   codegen, short-circuits in match order; fine for ≤10 patterns. Used
   as the oracle form.
-- :func:`enrich_broadcast` — the north_star form: a **broadcast
-  theta-join** against the pattern-bank dimension table
-  (``contains(user_agent, pattern)``) + min-priority winner. Spark
-  plans a BroadcastNestedLoopJoin for the non-equi predicate — correct
-  and cheap for a ≤100-row bank; at 100 TB the fact side streams
-  through executors with the tiny bank replicated, no shuffle.
+- :func:`enrich_broadcast` — the north_star form: the pattern-bank
+  dimension is aggregated to ONE row holding a priority-sorted
+  ``array<struct<priority,pattern,sid>>`` and **broadcast-joined**
+  (BroadcastNestedLoopJoin over a single row — the bank is replicated
+  to every executor exactly like a classic dim broadcast); the
+  min-priority match is then resolved with a pure array expression
+  (``filter(bank, contains)[0]``). Zero row expansion, zero shuffle,
+  zero per-row-key window — the fact side streams straight through.
+  (The earlier theta-join + ``row_number() over (partition by row-id)``
+  form shuffled the whole fact table on a unique-per-row key twice; at
+  100 TB that was the plan's scale-killer.)
 
 Platform semantics (intended, SURVEY.md §2.3 E8): ``os_id`` and
 ``device_id`` as separate columns, ``platform_id = os_id*256 +
@@ -25,7 +30,7 @@ deviations): Windows→OS_IOS (:534-536); desktop requiring "Mobile"
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..schemas import (
@@ -105,54 +110,55 @@ def _platform_cols(df: DataFrame) -> DataFrame:
     return df.withColumn("platform_id_u8", F.col("device_id"))
 
 
+def bank_winner(ua: Column, bank: Column, default: int) -> Column:
+    """First (min-priority) matching entry of a priority-sorted
+    ``array<struct<priority,pattern,sid>>`` pattern bank; ``default``
+    when nothing matches or the input is NULL."""
+    matches = F.filter(
+        bank, lambda x: ua.isNotNull() & ua.contains(x["pattern"])
+    )
+    return F.coalesce(
+        F.element_at(matches, 1)["sid"], F.lit(default)
+    ).cast("int")
+
+
+def _bank_agg(dim: DataFrame, sid_col: str, out: str) -> DataFrame:
+    """Collapse a (pattern, sid, priority) dim to one priority-sorted
+    array row (priority leads the struct so sort_array orders by it)."""
+    return dim.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("priority"), F.col("pattern"), F.col(sid_col).alias("sid")
+                )
+            )
+        ).alias(out)
+    )
+
+
 def enrich_broadcast(
     df: DataFrame, ua_col: str = "user_agent", row_key: tuple[str, ...] = ()
 ) -> DataFrame:
-    """E7+E8 via broadcast theta-join against the pattern banks.
+    """E7+E8 via broadcast join against the pattern-bank dimensions.
 
-    ``row_key``: columns that uniquely identify a row (used to pick the
-    min-priority match without relying on monotonically_increasing_id).
-    If empty, a temporary row id is attached (safe in batch).
+    ``row_key`` is accepted for backward compatibility and unused: the
+    winner is resolved by an array expression over the broadcast bank,
+    so no per-row key (and no shuffle) is needed.
     """
     spark = df.sparkSession
-    tmp_key = False
-    if not row_key:
-        df = df.withColumn("_rid", F.monotonically_increasing_id())
-        row_key = ("_rid",)
-        tmp_key = True
-
     ua = F.col(ua_col)
 
-    sys_d = system_dim(spark)
-    j = df.join(
-        F.broadcast(sys_d),
-        ua.isNotNull() & ua.contains(sys_d["pattern"]),
-        "left",
-    )
-    w = Window.partitionBy(*row_key).orderBy(F.col("priority").asc_nulls_last())
-    df = (
-        j.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .withColumn("system_id", F.coalesce(F.col("system_id"), F.lit(0)).cast("int"))
-        .drop("pattern", "priority", "_rn")
-    )
-
-    os_d = os_dim(spark)
-    j = df.join(
-        F.broadcast(os_d),
-        ua.isNotNull() & ua.contains(os_d["pattern"]),
-        "left",
-    )
-    df = (
-        j.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .withColumn("os_id", F.coalesce(F.col("os_id"), F.lit(0)).cast("int"))
-        .drop("pattern", "priority", "_rn")
-    )
+    sys_bank = _bank_agg(system_dim(spark), "system_id", "_sys_bank")
+    os_bank = _bank_agg(os_dim(spark), "os_id", "_os_bank")
+    df = df.join(F.broadcast(sys_bank)).join(F.broadcast(os_bank))
+    df = df.withColumn(
+        "system_id", bank_winner(ua, F.col("_sys_bank"), 0)
+    ).withColumn(
+        "os_id", bank_winner(ua, F.col("_os_bank"), OS_IDS["OS_UNKNOWN"])
+    ).drop("_sys_bank", "_os_bank")
 
     df = df.withColumn("device_id", classify_device_when(ua, F.col("os_id")))
-    df = _platform_cols(df)
-    return df.drop("_rid") if tmp_key else df
+    return _platform_cols(df)
 
 
 def enrich_role_tool(df: DataFrame) -> DataFrame:

@@ -13,6 +13,12 @@ by ``tests/test_parser.cpp:10-134``):
   the reference's own tests pin it: start+end case yields 0x08).
   ``end_check`` is 1 MiB, reduced to 1000 B for objects < 1 MiB.
 - otherwise MID → 0x04.
+- NULL-range policy (explicit deviation): a 206 row whose range header
+  failed to parse has NULL byte_start/byte_end → both the END and START
+  predicates are null-guarded false → the row classifies MID. The
+  reference can't hit this state (its zeroed defaults would yield
+  START+UNIQUE, src/s3parser.c:165-171 + :599-607); we prefer the
+  honest "position unknown" bucket over fabricating a START.
 
 The reference's sequential hash-set (``is_unique_ip``, 12,289 slots,
 saturates on big inputs — SURVEY.md §2.9 ST1) becomes a window:
@@ -77,7 +83,16 @@ def chunk_flags(
     end_check = F.when(object_size < MEGABYTE, F.lit(FSIZE_KB)).otherwise(
         F.lit(MEGABYTE)
     )
-    is_end = byte_end.isNotNull() & (byte_end >= (object_size - end_check))
+    # objects smaller than end_check: the reference's size_t subtraction
+    # underflows to a huge value, so its END check can never fire
+    # (src/s3parser.c:608-616). Signed column math would instead give a
+    # negative threshold and flag EVERY such row END — guard explicitly
+    # to keep the reference's observable behavior.
+    is_end = (
+        byte_end.isNotNull()
+        & (object_size >= end_check)
+        & (byte_end >= (object_size - end_check))
+    )
     is_start = byte_start.isNotNull() & (byte_start == 0)
     start_flags = F.lit(FLAG_STRT_206DL) + F.when(
         is_first, F.lit(FLAG_UNIQUE_IP)

@@ -85,6 +85,8 @@ def route_and_write(
 
     def counts_for(r: Route, routed) -> DataFrame:
         if base is not None:
+            from pyspark.errors import AnalysisException
+
             try:
                 filt = base.filter(r.predicate(base))
                 if r.group_key:
@@ -94,7 +96,7 @@ def route_and_write(
                 return filt.agg(
                     F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("count")
                 )
-            except Exception:  # predicate needs non-base columns
+            except AnalysisException:  # predicate needs non-base columns
                 pass
         if r.group_key:
             return group_count(routed, *r.group_key)

@@ -158,13 +158,28 @@ def ivf_topk(
     n_cells: int = 8,
     nprobe: int = 2,
 ) -> DataFrame:
-    """IVF-flat ANN: centroids = a deterministic corpus sample (every
-    ⌈N/n_cells⌉-th id — no kmeans dependency), rows assigned to their
-    max-cosine centroid, queries probe the ``nprobe`` nearest cells."""
+    """IVF-flat ANN: centroids = a deterministic pseudo-random corpus
+    sample (the ``n_cells`` smallest Knuth multiplicative hashes of the
+    id — uniform across the id space, reproducible in any engine, no
+    kmeans dependency), rows assigned to their max-cosine centroid,
+    queries probe the ``nprobe`` nearest cells. At scale the top-N pick
+    is a TakeOrderedAndProject over (hash, id, vec) — one scan, no
+    shuffle of the corpus."""
+    # (id mod 2^31) * K mod 2^32: stays inside signed-64 range even for
+    # huge ids (ANSI mode would error on a real overflow)
+    cent_rank = F.pmod(
+        F.pmod(F.col(id_col).cast("long"), F.lit(1 << 31)) * F.lit(2654435761),
+        F.lit(1 << 32),
+    )
     cent = (
-        corpus.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
-        .orderBy("cent_id")
+        corpus.select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("cent_vec"),
+            cent_rank.alias("_cr"),
+        )
+        .orderBy("_cr", "cent_id")
         .limit(n_cells)
+        .drop("_cr")
     )
 
     def assign(df: DataFrame, idc: str, vecc: str, nbest: int, out: str) -> DataFrame:

@@ -41,18 +41,54 @@ class Catalog:
         table: str,
         mode: str = "overwrite",
         partition_by: tuple[str, ...] = (),
+        bucket: tuple[int, str] | None = None,
     ) -> None:
-        if self.iceberg:  # pragma: no cover — needs the runtime jar
-            w = df.writeTo(f"{table}")
-            if mode == "overwrite":
-                w.createOrReplace()
-            else:
-                w.append()
+        """Write ``df`` with an identical partition spec on both format
+        branches: ``partition_by`` identity columns plus an optional
+        ``bucket=(N, col)`` transform (Iceberg ``bucket(N, col)``; on
+        the Parquet fallback a derived ``_bucket`` identity column —
+        same row co-location, coarser pruning)."""
+        if self.iceberg:
+            self._write_iceberg(df, table, mode, partition_by, bucket)
             return
-        w = df.write.mode(mode)
-        if partition_by:
-            w = w.partitionBy(*partition_by)
+        w_df = df
+        parts = list(partition_by)
+        if bucket is not None:
+            n, col = bucket
+            from pyspark.sql import functions as F
+
+            w_df = df.withColumn("_bucket", F.pmod(F.xxhash64(col), F.lit(n)))
+            parts.append("_bucket")
+        w = w_df.write.mode(mode)
+        if parts:
+            w = w.partitionBy(*parts)
         w.parquet(self.path(table))
+
+    def _write_iceberg(
+        self,
+        df: DataFrame,
+        table: str,
+        mode: str,
+        partition_by: tuple[str, ...],
+        bucket: tuple[int, str] | None,
+    ) -> None:
+        """Iceberg branch of the seam. The partition spec mirrors the
+        parquet branch exactly (contract-tested via a mocked writeTo in
+        tests/test_catalog.py — no runtime jar in this sandbox)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import partitioning
+
+        w = df.writeTo(f"{table}")
+        transforms = [F.col(c) for c in partition_by]
+        if bucket is not None:
+            n, col = bucket
+            transforms.append(partitioning.bucket(n, col))
+        if transforms:
+            w = w.partitionedBy(transforms[0], *transforms[1:])
+        if mode == "overwrite":
+            w.createOrReplace()
+        else:
+            w.append()
 
     def read(self, table: str) -> DataFrame:
         if self.iceberg:  # pragma: no cover

@@ -214,11 +214,36 @@ def transcripts_from_events(events: DataFrame) -> DataFrame:
     df = df.withColumn("episode", (F.col("id") % 1000).cast("int"))
     df = df.withColumn("http_code", F.when(F.col("id") % 7 == 0, 206).otherwise(200))
     df = df.withColumn("object_size", (F.lit(15_000_000) + (_h(31) % 10_000_000)))
+    # 206 rows carry a real byte range (deterministic thirds: start /
+    # end / mid) so the flagship entry() path exercises START/UNIQUE_IP/
+    # END flags, matching gen_transcripts — a range-less 206 would fall
+    # into the NULL-range → MID policy (operators/flags.py)
+    is_206 = F.col("http_code") == 206
+    third = _h(37) % 3
+    range_start = F.when(third == 0, F.lit(0)).otherwise(
+        (_h(38) % (F.col("object_size") - MEGABYTE - 1)) + 1
+    )
+    near_end = F.col("object_size") - (_h(39) % (MEGABYTE // 2)) - 1
+    df = df.withColumn("range_start", F.when(is_206, range_start))
+    mid_end = F.col("range_start") + (_h(40) % MEGABYTE) + 1
+    df = df.withColumn(
+        "range_end",
+        F.when(is_206 & (third == 1), near_end).when(
+            is_206,
+            F.least(mid_end, F.col("object_size") - F.lit(2 * MEGABYTE)),
+        ),
+    ).withColumn(
+        "range_end",
+        F.when(
+            F.col("range_end") < F.col("range_start"),
+            F.col("range_start") + (_h(41) % 1000),
+        ).otherwise(F.col("range_end")),
+    )
     df = df.withColumn(
         "bytes_sent",
-        F.when(F.col("http_code") == 206, _h(32) % F.col("object_size")).otherwise(
-            F.col("object_size")
-        ),
+        F.when(
+            is_206, F.col("range_end") - F.col("range_start") + 1
+        ).otherwise(F.col("object_size")),
     )
     df = df.withColumn("total_time_ms", (_h(33) % 5000).cast("int"))
     ua_arr = F.array(*[F.lit(u) for u in USER_AGENTS])
@@ -250,6 +275,15 @@ def transcripts_from_events(events: DataFrame) -> DataFrame:
         F.col("user_agent"),
         k, k, k, k,
     )
+    text = F.when(
+        is_206,
+        F.concat(
+            text,
+            F.format_string(
+                ' "bytes=%d-%d"', F.col("range_start"), F.col("range_end")
+            ),
+        ),
+    ).otherwise(text)
     df = df.withColumn("text", text)
     w = Window.partitionBy("conv_id").orderBy("ts", "id")
     df = df.withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))

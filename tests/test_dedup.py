@@ -100,6 +100,76 @@ def test_embedding_near_dups(spark):
     assert got == {(0, 1)}
 
 
+def test_simhash_pairs_banding(spark, docs):
+    """banded candidate generation finds every hamming-≤3 pair that an
+    all-pairs scan finds (lossless by pigeonhole for 4 bands)."""
+    from itertools import combinations
+
+    from s3_log_parser_spark.operators.dedup import simhash_df, simhash_pairs
+
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(docs, bits=16, band_bits=4, max_hamming=3).collect()
+    }
+    sh = {r["id"]: r["simhash"] for r in simhash_df(docs, bits=16).collect()}
+    want = {
+        (a, b): bin(sh[a] ^ sh[b]).count("1")
+        for a, b in combinations(sorted(sh), 2)
+        if bin(sh[a] ^ sh[b]).count("1") <= 3
+    }
+    assert got == want
+    assert (0, 2) in got and got[(0, 2)] == 0  # exact dups
+
+
+def test_embedding_bucketed_recall_vs_bruteforce(spark):
+    """planted near-duplicates (cosine ≥ ~0.99 — the regime near-dup
+    removal targets): the LSH-bucketed self-join must recover ≥90% of
+    the brute-force pairs and introduce NO false positives. (At weakly
+    correlated thresholds like cos 0.25, radius-1 sign-LSH recall is
+    inherently ~0.45 — that regime belongs to similarity search, not
+    dedup, and is covered by the ANN recall pins.)"""
+    from s3_log_parser_spark.operators.dedup import (
+        embedding_near_dups_bucketed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.select("vec_id", "embedding").filter("vec_id < 200")
+    # deterministic perturbed copy of each row: one coordinate nudged
+    planted = base.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x + F.lit(0.05))
+            .otherwise(x)
+            .cast("float"),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(planted)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(corpus, threshold_x1m=950_000).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups_bucketed(
+            corpus, threshold_x1m=950_000, n_planes=4, dim=64, probe_radius=1
+        ).collect()
+    }
+    assert lsh <= exact, "bucketing must never invent pairs"
+    assert len(exact) >= 150, "fixture must produce a non-trivial pair set"
+    assert len(lsh) / len(exact) >= 0.9
+
+
+def test_embedding_bucketed_no_duplicate_pairs(spark):
+    from s3_log_parser_spark.operators.dedup import (
+        embedding_near_dups_bucketed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = embedding_near_dups_bucketed(emb, threshold_x1m=200_000)
+    assert out.count() == out.select("id_a", "id_b").distinct().count()
+
+
 def test_jaccard_empty_union_is_zero(spark):
     df = spark.createDataFrame([("", "")], "a string, b string")
     r = df.select(

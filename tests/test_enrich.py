@@ -61,6 +61,19 @@ def test_platform_encoding(spark):
         assert r["platform_id_u8"] == r["device_id"]
 
 
+def test_enrich_broadcast_plan_has_no_shuffle(spark):
+    """The bank join must not introduce any exchange keyed on a per-row
+    id (VERDICT r1: the old theta-join + row_number form shuffled the
+    fact table twice on monotonically_increasing_id)."""
+    df = _ua_df(spark)
+    plan = (
+        enrich_broadcast(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "ShuffleExchange" not in plan and "Window" not in plan
+    assert "monotonically_increasing_id" not in plan
+
+
 def test_broadcast_plan_is_broadcast(spark):
     from s3_log_parser_spark.operators.enrich import enrich_role_tool
 

@@ -92,3 +92,18 @@ def test_ivf_shapes(spark, emb):
     assert {r["q_id"] for r in rows} == {0, 1, 2}
     for r in rows:
         assert 1 <= r["rank"] <= 3
+
+
+def test_ivf_recall_reasonable(spark, emb):
+    """stratified-hash centroids + nprobe=2/8 cells keep top-1 recall
+    well above random on 50 queries (analog of the LSH recall pin)."""
+    q = emb.filter("vec_id < 50")
+    exact = {r["q_id"]: r["c_id"] for r in cosine_topk(emb, q, k=1).collect()}
+    ivf = {
+        r["q_id"]: r["c_id"]
+        for r in ivf_topk(emb, q, k=1, n_cells=8, nprobe=2).collect()
+    }
+    hits = sum(1 for k in exact if ivf.get(k) == exact[k])
+    # nprobe=2 of 8 cells ≈ ¼ of the corpus scanned per query; random
+    # baseline would be ~1/500
+    assert hits / len(exact) >= 0.3
