@@ -693,19 +693,31 @@ def _route(spark, sf):
 
 # shared DuckDB CTE fragments ------------------------------------------------
 
-# distinct DJB2 hashes of word-3-gram shingles of documents.text
+# distinct shingle hashes of word-3-gram shingles of documents.text:
+# a shingle's hash is a DJB2 fold over its tokens' DJB2 digests
+# (h = 5381; h = (h*33 + digest) mod 2^32) — same fold, same order as
+# operators/dedup.shingle_hashes; rows with < 3 tokens fold over all
+# their tokens
+_DJB2_FOLD = "(h, d) -> (h * 33 + d) % 4294967296"
 _SHINGLE_CTE = f"""
     WITH toks AS (
       SELECT doc_id, source, {_toks_sql('text')} AS tk FROM documents
+    ), tkh AS (
+      SELECT doc_id, source,
+             list_transform(tk, t -> {_djb2_sql('t')}) AS th,
+             len(tk) AS ntk
+      FROM toks
     ), sh AS (
       SELECT doc_id, source,
-        list_distinct(list_transform(
-          CASE WHEN len(tk) >= 3
-               THEN list_transform(generate_series(1, len(tk) - 2),
-                                   i -> array_to_string(tk[i:i+2], ' '))
-               ELSE [array_to_string(tk, ' ')] END,
-          s -> {_djb2_sql('s')})) AS hs
-      FROM toks
+        list_distinct(
+          CASE WHEN ntk >= 3
+               THEN list_transform(generate_series(1, ntk - 2),
+                      i -> list_reduce(
+                             list_prepend(5381::BIGINT, th[i:i+2]),
+                             {_DJB2_FOLD}))
+               ELSE [list_reduce(list_prepend(5381::BIGINT, th),
+                                 {_DJB2_FOLD})] END) AS hs
+      FROM tkh
     )
 """
 

@@ -47,6 +47,47 @@ def djb2_py(s: str | bytes | None) -> int:
     return h
 
 
+def djb2_numpy(arr) -> "object":
+    """Vectorized byte-exact DJB2 over a pyarrow String/LargeString
+    array — O(total bytes) of numpy ops instead of a Python loop per
+    string. Works directly on the Arrow buffers (offsets + uint8 data),
+    iterating over CHARACTER POSITIONS so each step is one vectorized
+    multiply-add over all strings still longer than ``p``. NULL → 5381.
+
+    Used on dictionary arrays in the Arrow parse stage: the old
+    per-value Python loop was O(distinct) and degenerated to per-row
+    Python on high-cardinality columns (conv_id/key at real scale).
+    Returns an int64 numpy array.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    n = len(arr)
+    out = np.full(n, DJB2_SEED, dtype=np.uint64)
+    if n == 0:
+        return out.astype(np.int64)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    starts, lens = offs[:-1], offs[1:] - offs[:-1]
+    mask32 = np.uint64(0xFFFFFFFF)
+    active = np.flatnonzero(lens > 0)
+    p = 0
+    while active.size:
+        idx = starts[active] + p
+        out[active] = (out[active] * np.uint64(33) + data[idx]) & mask32
+        p += 1
+        active = active[lens[active] > p]
+    if arr.null_count:
+        out[np.asarray(arr.is_null(), dtype=bool)] = DJB2_SEED
+    return out.astype(np.int64)
+
+
 def _djb2_series(s: pd.Series) -> pd.Series:
     # unique-value cache: hash each distinct string once per Arrow batch
     cache: dict = {}

@@ -89,23 +89,21 @@ def parse_text_arrow(
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.compute as pc
 
-        from .hashes import djb2_py
-
-        hash_cache: dict = {}
+        from .hashes import djb2_numpy
 
         def dict_hash(arr: pa.Array) -> pa.Array:
-            """DJB2 per distinct value; NULL → 5381 (reference NULL guard)."""
+            """DJB2 per distinct value; NULL → 5381 (reference NULL guard).
+
+            dictionary-encode → numpy DJB2 over the (deduplicated)
+            dictionary's Arrow buffers → take back. Cost is O(distinct
+            bytes) of VECTORIZED numpy work — no per-string Python, so
+            a high-cardinality column (conv_id/key at real scale, where
+            the dictionary approaches batch size) stays cheap instead
+            of degenerating to per-row Python.
+            """
             d = pc.dictionary_encode(arr)
-            vals = d.dictionary.to_pylist() if len(d.dictionary) else []
-            lut = []
-            for v in vals:
-                h = hash_cache.get(v)
-                if h is None:
-                    h = djb2_py(v)
-                    if len(hash_cache) < 2_000_000:
-                        hash_cache[v] = h
-                lut.append(h)
-            hashed = pc.take(pa.array(lut, pa.int64()), d.indices)
+            lut = pa.array(djb2_numpy(d.dictionary), pa.int64())
+            hashed = pc.take(lut, d.indices)
             return pc.fill_null(hashed, 5381)
 
         def digit_cast(arr: pa.Array, typ: pa.DataType) -> pa.Array:

@@ -7,9 +7,11 @@ Five strategies, all deterministic and partition-invariant:
   ``dropDuplicates``, whose winner is partition-dependent).
 - :func:`shingles` / :func:`minhash_signature` / :func:`minhash_candidates`
   — MinHash+LSH: shingle → K min-hashes → bands → bucket self-join →
-  candidate pairs → exact-Jaccard verification. The shingle hash is
-  DJB2 (shared with the reference kernel) so the DuckDB oracle can
-  reproduce signatures bit-for-bit.
+  candidate pairs → exact-Jaccard verification. The shingle hash is a
+  DJB2 fold over per-token DJB2 digests (the reference kernel, applied
+  hierarchically) so the DuckDB oracle reproduces signatures
+  bit-for-bit at linear cost; ``mode="xxhash64"`` swaps in the codegen
+  hash family for production runs.
 - :func:`simhash` — B-bit SimHash over token hashes.
 - :func:`ngram_jaccard_pairs` — exact n-gram Jaccard for pair sets
   (the verifier for MinHash, and a standalone near-dup strategy).
@@ -30,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashes import djb2_expr
 from ..functions.text import tokens
+from ..schemas import DJB2_SEED
 
 # modulus for the universal-hash family over DJB2 values:
 # smallest prime > 2^32 (same family the oracle SQL uses)
@@ -59,23 +62,86 @@ def exact_dedup(
     )
 
 
+def _sliding_zip(arr: Column, n: int, combine, first) -> Column:
+    """fold ``combine`` across ``n`` index-shifted slices of ``arr`` —
+    the linear-cost way to build per-shingle values. CRITICAL Catalyst
+    trap (measured 40× at sf0.01): referencing a computed array INSIDE
+    a per-element lambda (``transform(idxs, i -> element_at(arr, i))``)
+    re-evaluates the whole array expression once per element → O(len²)
+    per row. Top-level children (each ``slice``) evaluate once per row,
+    and ``zip_with`` binds elements as lambda variables — O(len·n)."""
+    k = F.greatest(F.size(arr) - (n - 1), F.lit(0))
+    cur = F.transform(F.slice(arr, 1, k), first)
+    for j in range(2, n + 1):
+        cur = F.zip_with(cur, F.slice(arr, j, k), combine)
+    return cur
+
+
 def shingles(col: Column | str, n: int = 3) -> Column:
     """word n-gram shingles as an array<string>; rows with < n tokens
     get their whole token string as the single shingle."""
     toks = tokens(col)
     joined = F.array_join(toks, " ")
-    k = F.size(toks) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    grams = _sliding_zip(
+        toks, n,
+        combine=lambda acc, t: F.concat(acc, F.lit(" "), t),
+        first=lambda t: t,
     )
     return F.when(F.size(toks) >= n, grams).otherwise(F.array(joined))
 
 
-def shingle_hashes(col: Column | str, n: int = 3) -> Column:
-    """distinct DJB2 hashes of the shingle set (array<long>)."""
+_M32 = 1 << 32
+
+
+def _djb2_fold(h: Column, d: Column) -> Column:
+    """one DJB2 step over a 32-bit digest: (h*33 + d) mod 2^32.
+    h, d < 2^32 → h*33 + d < 2^38, safe in signed 64 under ANSI."""
+    return F.pmod(h * 33 + d, F.lit(_M32))
+
+
+def token_hashes(col: Column | str) -> Column:
+    """DJB2 digest of each whitespace token (array<long>) — one
+    char-level pass per token, computed once per row."""
+    return F.transform(tokens(col), lambda t: djb2_expr(t))
+
+
+def shingle_hashes(col: Column | str, n: int = 3, mode: str = "djb2") -> Column:
+    """distinct hashes of the word n-gram shingle set (array<long>).
+
+    A shingle's hash is a DJB2 fold over its tokens' DJB2 digests
+    (``h=5381; h = (h*33 + digest) mod 2^32``) — the character-level
+    kernel runs exactly once per token, and the per-shingle combine is
+    3 integer ops instead of a ~20-char rescan + string allocation per
+    shingle (the round-1 form also re-split the token array once per
+    shingle via the in-lambda reference trap, see ``_sliding_zip``).
+    Rows with < n tokens fold over all their tokens (empty text →
+    5381, the bare seed). Deterministic and reproduced digit-for-digit
+    by the DuckDB oracle (same fold, same order).
+
+    ``mode="xxhash64"``: the production hash family for real 100 TB
+    runs — identical shape, JVM codegen ``xxhash64(acc, digest)``
+    mixing instead of the (weak, parity-required) DJB2 fold.
+    """
+    toks = tokens(col)
+    seed = F.lit(DJB2_SEED).cast("long")
+    if mode == "xxhash64":
+        th = F.transform(toks, lambda t: F.xxhash64(t))
+        grams = _sliding_zip(
+            th, n,
+            combine=lambda acc, d: F.xxhash64(acc, d),
+            first=lambda d: F.xxhash64(seed, d),
+        )
+        whole = F.aggregate(th, seed, lambda acc, d: F.xxhash64(acc, d))
+    else:
+        th = token_hashes(col)
+        grams = _sliding_zip(
+            th, n,
+            combine=_djb2_fold,
+            first=lambda d: _djb2_fold(seed, d),
+        )
+        whole = F.aggregate(th, seed, _djb2_fold)
     return F.array_distinct(
-        F.transform(shingles(col, n), lambda s: djb2_expr(s))
+        F.when(F.size(toks) >= n, grams).otherwise(F.array(whole))
     )
 
 
@@ -110,6 +176,7 @@ def minhash_signatures_df(
     text_col: str = "text",
     n: int = 3,
     k: int = 8,
+    mode: str = "djb2",
 ) -> DataFrame:
     """Scale-path MinHash: explode shingle hashes → ONE hash-aggregate
     computing all K mins. The per-row array form (minhash_signature)
@@ -120,7 +187,7 @@ def minhash_signatures_df(
     (high-cardinality) doc id, map-side partial min."""
     hs = df.select(
         F.col(id_col).alias("id"),
-        F.explode(shingle_hashes(text_col, n)).alias("h"),
+        F.explode(shingle_hashes(text_col, n, mode)).alias("h"),
     )
     aggs = []
     for i in range(k):
@@ -140,10 +207,12 @@ def minhash_candidates(
     n: int = 3,
     k: int = 8,
     rows_per_band: int = 2,
+    mode: str = "djb2",
 ) -> DataFrame:
     """LSH banding: docs sharing any band signature become candidate
-    pairs (id_a < id_b). Returns distinct pairs."""
-    sdf = minhash_signatures_df(df, id_col, text_col, n, k)
+    pairs (id_a < id_b). Returns distinct pairs. ``mode`` selects the
+    shingle hash family (see :func:`shingle_hashes`)."""
+    sdf = minhash_signatures_df(df, id_col, text_col, n, k, mode)
     bands = []
     for b in range(k // rows_per_band):
         cols = [

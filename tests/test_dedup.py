@@ -72,6 +72,39 @@ def test_minhash_lsh_finds_dups(spark, docs):
     assert (3, 4) not in pairs
 
 
+def test_minhash_xxhash_production_mode(spark, docs):
+    """the codegen hash family must behave like the parity family on
+    exact dups / clearly-distinct docs (only the hash values differ)."""
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidates(docs, mode="xxhash64").collect()
+    }
+    assert (0, 2) in pairs
+    assert (3, 4) not in pairs
+
+
+def test_shingle_hash_is_token_digest_fold(spark):
+    """pin the hash definition: fold(5381, token DJB2 digests) — the
+    contract the DuckDB oracle reproduces."""
+    from s3_log_parser_spark.functions.hashes import djb2_py
+    from s3_log_parser_spark.operators.dedup import shingle_hashes
+
+    def fold(toks):
+        h = 5381
+        for t in toks:
+            h = (h * 33 + djb2_py(t)) % (1 << 32)
+        return h
+
+    rows = [("a b c d",), ("x y",), ("",), (None,)]
+    df = spark.createDataFrame(rows, "text string")
+    got = [r[0] for r in df.select(shingle_hashes("text", 3)).collect()]
+    assert sorted(got[0]) == sorted(
+        {fold(["a", "b", "c"]), fold(["b", "c", "d"])}
+    )
+    assert got[1] == [fold(["x", "y"])]
+    assert got[2] == [5381] and got[3] == [5381]
+
+
 def test_simhash_hamming(spark, docs):
     out = docs.select("doc_id", simhash("text", bits=64).alias("sh"))
     sh = {r["doc_id"]: r["sh"] for r in out.collect()}

@@ -75,3 +75,23 @@ def test_first_path_segment(spark):
     )
     got = [r[0] for r in df.select(first_path_segment("k")).collect()]
     assert got == ["a", "a", "x"]
+
+
+def test_djb2_numpy_parity():
+    """the vectorized Arrow-buffer kernel must be byte-exact with the
+    pure-Python oracle — incl. unicode, NULL, empty, long strings,
+    sliced arrays (non-zero offset) and large_string offsets."""
+    import pyarrow as pa
+
+    from s3_log_parser_spark.functions.hashes import djb2_numpy
+
+    vals = [
+        "", "a", "tech-talk", "héllo wörld ünïcode", None,
+        "x" * 5000, "conv-12345", "/show/ep.mp3",
+    ]
+    want = [djb2_py(v) for v in vals]
+    assert list(djb2_numpy(pa.array(vals, pa.string()))) == want
+    assert list(djb2_numpy(pa.array(vals, pa.large_string()))) == want
+    sl = pa.array(vals, pa.string()).slice(2, 4)
+    assert list(djb2_numpy(sl)) == want[2:6]
+    assert list(djb2_numpy(pa.array([], pa.string()))) == []
