@@ -54,9 +54,12 @@ def cmd_parse(args) -> None:
 
 
 def cmd_extract(args) -> None:
-    from pyspark.sql import functions as F
-
-    from .operators.aggregate import group_count, grouped_export
+    from .operators.aggregate import (
+        GROUP_NAMES,
+        group_count,
+        grouped_export,
+        grouped_export_json,
+    )
 
     spark = _spark(args)
     slim = spark.read.parquet(args.input)
@@ -66,11 +69,23 @@ def cmd_extract(args) -> None:
         "t": "day_bucket",  # GROUP_TIME (:158-160)
         "n": None,  # GROUP_NONE (flat)
     }[args.group_by]
+    if key is not None and args.members and args.format == "json":
+        # the reference's exact grouped-JSON document (valid-JSON
+        # variant of print_grouped_json, s3extract.c:251-306), one file
+        doc = grouped_export_json(
+            slim, key, GROUP_NAMES[args.group_by],
+            max_rows_per_group=args.member_cap,
+            member_order=("conv_id", "turn_idx")
+            if {"conv_id", "turn_idx"} <= set(slim.columns)
+            else (),
+        )
+        with open(args.output, "w") as f:
+            f.write(doc)
+        print(f"extracted {args.input} grouped by {args.group_by} -> {args.output}")
+        return
     if key is None:
         out = slim
     elif args.members:
-        # the reference's grouped-JSON shape (count + member rows);
-        # only sane with a per-group cap at scale
         out = grouped_export(slim, key, max_rows_per_group=args.member_cap)
     else:
         out = group_count(slim, key)
@@ -86,10 +101,18 @@ def cmd_run(args) -> None:
 
     spark = _spark(args)
     t = spark.read.parquet(args.input)
-    res = run_pipeline(spark, t, args.output, run_id=args.run_id)
+    res = run_pipeline(
+        spark, t, args.output, run_id=args.run_id, verbose=args.verbose
+    )
     for name, df in sorted(res.sink_counts.items()):
         n = df.count()
         print(f"sink {name}: {n} aggregate rows")
+    if args.verbose and res.lineage is not None:
+        # reference -v parity: per-batch row counters
+        # (src/s3parser.c:56-67) → per-partition rows/bytes here
+        print("lineage (partition, rows, approx_bytes):")
+        for r in res.lineage.orderBy("_part_id").collect():
+            print(f"  {r['_part_id']:>6} {r['rows']:>10} {r['approx_bytes']:>12}")
     print(f"timings: { {k: round(v, 1) for k, v in res.timings.items()} }")
 
 
@@ -125,6 +148,11 @@ def main(argv: list[str] | None = None) -> None:
     r.add_argument("-f", "--input", required=True)
     r.add_argument("-o", "--output", required=True)
     r.add_argument("--run-id", default="run-0")
+    r.add_argument(
+        "-v", "--verbose", action="store_true",
+        help="write + print the _lineage per-partition metrics table "
+        "(reference -v, s3driver.c:56-67)",
+    )
 
     args = p.parse_args(argv)
     {"gen": cmd_gen, "parse": cmd_parse, "extract": cmd_extract, "run": cmd_run}[

@@ -9,10 +9,15 @@ group), not per input row.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..schemas import SECONDS_PER_DAY
+
+# F3 get_group_name (s3extract.c:294-306), grafted: podcast→tool
+GROUP_NAMES = {"p": "podcast", "i": "ip_address", "t": "day", "n": "none"}
 
 
 def group_count(df: DataFrame, *keys: str | Column) -> DataFrame:
@@ -80,3 +85,56 @@ def grouped_export(
         F.max("_grp_n").alias("count"),
         F.collect_list(F.struct(*member_cols)).alias("logs"),
     )
+
+
+_HASH_COLS = ("ip_hash", "key_hash", "tool_hash", "conv_hash")
+
+
+def grouped_export_json(
+    df: DataFrame,
+    key: str,
+    group_name: str,
+    max_rows_per_group: int = 1000,
+    member_order: tuple[str, ...] = (),
+) -> str:
+    """S6: the reference's grouped-JSON document shape —
+    ``{"grouped_by": name, "groups": {key: {"count": N, "logs": [...]}},
+    "total_groups": M}`` (``print_grouped_json``,
+    /root/reference/src/s3extract.c:251-306) — as VALID JSON (the
+    reference's literal output is malformed: missing quote at :240,
+    trailing comma at :245; FIXTURES.md defines ours as golden).
+
+    Per F2 (:330-335) hash columns render as 8-char lowercase hex; per
+    F1 (:309-327) timestamps render ``yyyy-MM-dd HH:mm:ss`` (UTC-pinned
+    — documented deviation from the reference's localtime).
+
+    This document is inherently driver-materialized (the reference
+    holds every group in RAM, README.md:220-235); members are capped
+    per group, and the router's per-sink tables remain the scale path.
+    """
+    fmt = df
+    for c in _HASH_COLS:
+        if c in fmt.columns:
+            fmt = fmt.withColumn(c, F.lower(F.format_string("%08x", F.col(c))))
+    for fld in fmt.schema.fields:
+        if fld.dataType.typeName() == "timestamp":
+            fmt = fmt.withColumn(
+                fld.name, F.date_format(fld.name, "yyyy-MM-dd HH:mm:ss")
+            )
+    grouped = grouped_export(
+        fmt, key, max_rows_per_group=max_rows_per_group,
+        member_order=member_order,
+    ).collect()
+    groups = {
+        str(r[key]): {
+            "count": r["count"],
+            "logs": [m.asDict(recursive=True) for m in r["logs"]],
+        }
+        for r in grouped
+    }
+    doc = {
+        "grouped_by": group_name,
+        "groups": groups,
+        "total_groups": len(groups),
+    }
+    return json.dumps(doc, default=str, sort_keys=True)

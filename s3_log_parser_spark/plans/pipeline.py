@@ -36,6 +36,7 @@ class PipelineResult:
     slim: DataFrame
     sink_counts: dict[str, DataFrame]
     timings: dict[str, float] = field(default_factory=dict)
+    lineage: DataFrame | None = None
 
 
 def build_slim(
@@ -91,8 +92,16 @@ def run_pipeline(
     run_id: str = "run-0",
     routes: list[Route] | None = None,
     use_sql_parser: bool = False,
+    verbose: bool = False,
 ) -> PipelineResult:
-    """Execute the full DAG with manifest-gated idempotent resume."""
+    """Execute the full DAG with manifest-gated idempotent resume.
+
+    ``verbose``: additionally write a ``_lineage`` table of
+    per-partition (rows, approx bytes) over the slim checkpoint — the
+    reference's ``-v`` per-batch counters (src/s3parser.c:56-67) as a
+    queryable table instead of stderr noise. One extra pruned pass over
+    slim, only when asked for.
+    """
     catalog = Catalog(spark, out_dir)
     manifest = Manifest(out_dir, run_id)
     timings: dict[str, float] = {}
@@ -122,4 +131,17 @@ def run_pipeline(
     )
     timings["route"] = time.perf_counter() - t0
 
-    return PipelineResult(slim=slim, sink_counts=counts, timings=timings)
+    lineage = None
+    if verbose:
+        from .lineage import lineage_summary, with_partition_metrics
+
+        if not manifest.complete("lineage"):
+            catalog.write(
+                lineage_summary(with_partition_metrics(slim)), "_lineage"
+            )
+            manifest.mark("lineage")
+        lineage = catalog.read("_lineage")
+
+    return PipelineResult(
+        slim=slim, sink_counts=counts, timings=timings, lineage=lineage
+    )
