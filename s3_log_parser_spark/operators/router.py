@@ -109,19 +109,43 @@ def route_and_write(
         counts[r.name] = counts_for(r, routed)
         stage = f"sink:{r.name}"
         if skip is None or not skip(stage):
-            catalog.write(routed, r.name, mode=mode, partition_by=r.partition_by)
-            catalog.write(counts[r.name], f"{r.name}_counts", mode=mode)
+            w = routed
+            if r.partition_by:
+                # cluster rows by partition key before a partitioned
+                # write: without this every task emits one file per
+                # partition VALUE it sees (tasks × values files — 234
+                # for an 8-task by_day write), and the driver-side
+                # commit of those files is pure constant overhead that
+                # eats the speedup at higher parallelism. A salt keeps
+                # write parallelism from collapsing to the number of
+                # distinct values on big sessions (salt buckets scale
+                # with shuffle.partitions: 1 on small legs → minimal
+                # files, >1 on wide sessions → cores stay fed and hot
+                # values split across tasks — the same knob that caps
+                # per-task partition size at 100 TB).
+                nshuf = int(
+                    slim.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
+                )
+                s = max(1, nshuf // 16)
+                salt = F.pmod(F.spark_partition_id(), F.lit(s))
+                w = routed.repartition(
+                    *[F.col(c) for c in r.partition_by], salt
+                )
+            catalog.write(w, r.name, mode=mode, partition_by=r.partition_by)
+            # counts frames are tiny (≤ thousands of rows) — one file
+            catalog.write(counts[r.name].coalesce(1), f"{r.name}_counts", mode=mode)
             if on_done is not None:
                 on_done(stage)
 
     # sinks are independent jobs — submit concurrently so the Spark
     # scheduler fills cores across their scan/write barriers (threads
     # share the SparkSession; each .write blocks its own thread only).
-    # Two at a time: enough to hide write barriers, not enough to
-    # oversubscribe the executor cores with competing stages.
+    # All four in flight: the scheduler interleaves their stages, so
+    # scan/commit barriers of one sink are hidden behind compute of the
+    # others (oversubscription just queues tasks).
     import os as _os
 
-    workers = int(_os.environ.get("ROUTER_CONCURRENCY", "2"))
+    workers = int(_os.environ.get("ROUTER_CONCURRENCY", "4"))
     with ThreadPoolExecutor(max_workers=max(1, workers)) as ex:
         futures = {r.name: ex.submit(write_one, r) for r in routes}
         for f in futures.values():
