@@ -78,7 +78,16 @@ def pipeline_run(cores: int, turns: int, out_root: str) -> dict:
     from s3_log_parser_spark.session import get_spark
     from s3_log_parser_spark.sources.gen import gen_transcripts
 
-    spark = get_spark(app_name=f"bench-{cores}", cores=cores)
+    extra = {}
+    if os.environ.get("BENCH_PIPELINE_ONLY"):
+        # pinned scaling legs only: fresh Python worker per task.
+        # Observed once on this host: Spark 4.1's single-threaded Arrow
+        # PythonRunner deadlocked mid-stage against a REUSED worker
+        # (JVM epoll-blocked on worker output, worker select-blocked on
+        # input, both idle forever). Costs ~100 ms/task here; the leg
+        # watchdog below is the backstop.
+        extra["spark.python.worker.reuse"] = "false"
+    spark = get_spark(app_name=f"bench-{cores}", cores=cores, extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
 
     src = ensure_transcripts(spark, turns, out_root)
@@ -110,12 +119,20 @@ def pipeline_run(cores: int, turns: int, out_root: str) -> dict:
     }
 
 
-def run_pinned_leg(executors: int, turns: int, out_root: str) -> dict:
+def run_pinned_leg(
+    executors: int, turns: int, out_root: str, attempts: int = 2
+) -> dict | None:
     """one scaling leg in a taskset-pinned subprocess (fresh JVM).
 
     Executor model: one "executor" = 1 local[N] task slot + its Python
     UDF worker = 2 pinned physical cores (matching how a real cluster
     allocates pyspark worker overhead next to each executor core).
+
+    Watchdog: a leg that exceeds its deadline is killed and retried
+    (a JVM↔python-worker deadlock was observed once on this host —
+    see pipeline_run); returns None only if every attempt fails, so
+    one bad leg degrades the scaling evidence instead of hanging the
+    whole bench (the per-round driver run must always produce JSON).
     """
     env = dict(
         os.environ,
@@ -127,11 +144,30 @@ def run_pinned_leg(executors: int, turns: int, out_root: str) -> dict:
     cmd = [sys.executable, os.path.join(REPO, "bench.py")]
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{2 * executors - 1}"] + cmd
-    p = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=3600)
-    lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
-    if not lines:
-        raise RuntimeError(f"leg executors={executors} failed: {p.stderr[-2000:]}")
-    return json.loads(lines[-1])
+    # generous: timed run + warmup + first-leg data generation, all on
+    # few pinned cores; the slowest healthy leg measured ≈ 350 s
+    deadline = int(os.environ.get("BENCH_LEG_TIMEOUT", "1200"))
+    for attempt in range(attempts):
+        try:
+            p = subprocess.run(
+                cmd, env=env, capture_output=True, text=True, timeout=deadline
+            )
+        except subprocess.TimeoutExpired:
+            print(
+                f"# leg executors={executors} attempt {attempt + 1} hit the "
+                f"{deadline}s watchdog — retrying",
+                file=sys.stderr,
+            )
+            continue
+        lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+        if lines:
+            return json.loads(lines[-1])
+        print(
+            f"# leg executors={executors} attempt {attempt + 1} failed: "
+            f"{p.stderr[-1500:]}",
+            file=sys.stderr,
+        )
+    return None
 
 
 def main() -> None:
@@ -163,29 +199,41 @@ def main() -> None:
         # delivers ~19 real cores and shares the box — see BASELINE.md).
         # Best-of-R per leg de-noises neighbor load.
         lo_c, hi_c = 1, 4
-        repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "3"))
+        # best-of-2 per leg: one repeat de-noises the worst neighbor
+        # spikes while keeping the whole bench under ~15 min with the
+        # longer 6M legs (best-of-3 at 2.5M measured LESS accurately —
+        # the constant term dominated; see BASELINE.md)
+        repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "2"))
         legs = {}
         for c in (hi_c, lo_c):
             best = None
             for _ in range(repeats):
                 leg = run_pinned_leg(c, s_turns, out_root)
-                if best is None or leg["turns_per_sec"] > best["turns_per_sec"]:
+                if leg is not None and (
+                    best is None or leg["turns_per_sec"] > best["turns_per_sec"]
+                ):
                     best = leg
             legs[c] = best
-        speedup = legs[hi_c]["turns_per_sec"] / legs[lo_c]["turns_per_sec"]
-        scaling = {
-            "method": (
-                "same job, same input, taskset-pinned cores, best of "
-                f"{repeats} runs per leg (no real cluster in sandbox; "
-                "shared noisy host)"
-            ),
-            "turns": s_turns,
-            f"N={lo_c}_turns_per_sec": round(legs[lo_c]["turns_per_sec"], 1),
-            f"4N={hi_c}_turns_per_sec": round(legs[hi_c]["turns_per_sec"], 1),
-            "speedup": round(speedup, 3),
-            "ideal": hi_c / lo_c,
-            "efficiency": round(speedup / (hi_c / lo_c), 3),
-        }
+        if legs[hi_c] is None or legs[lo_c] is None:
+            scaling = {
+                "error": "a scaling leg failed every attempt (see stderr)",
+                "turns": s_turns,
+            }
+        else:
+            speedup = legs[hi_c]["turns_per_sec"] / legs[lo_c]["turns_per_sec"]
+            scaling = {
+                "method": (
+                    "same job, same input, taskset-pinned cores, best of "
+                    f"{repeats} runs per leg (no real cluster in sandbox; "
+                    "shared noisy host)"
+                ),
+                "turns": s_turns,
+                f"N={lo_c}_turns_per_sec": round(legs[lo_c]["turns_per_sec"], 1),
+                f"4N={hi_c}_turns_per_sec": round(legs[hi_c]["turns_per_sec"], 1),
+                "speedup": round(speedup, 3),
+                "ideal": hi_c / lo_c,
+                "efficiency": round(speedup / (hi_c / lo_c), 3),
+            }
 
     qtimes = {}
     if os.environ.get("BENCH_QUERIES", "1") != "0":
@@ -199,6 +247,17 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).count()
             qtimes[name] = round(time.perf_counter() - t0, 3)
+        # the production (non-parity) hash family for minhash dedup —
+        # not a queries() entry (DuckDB can't reproduce xxhash64), so
+        # timed directly from the library
+        from s3_log_parser_spark.operators.dedup import minhash_candidates
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        t0 = time.perf_counter()
+        minhash_candidates(docs, mode="xxhash64").count()
+        qtimes["dedup_minhash_lsh_pairs_xxhash64"] = round(
+            time.perf_counter() - t0, 3
+        )
 
     result = {
         "metric": "pipeline_wall_sec_parse_enrich_route_aggregate",
