@@ -6,7 +6,6 @@ Iceberg side is exercised through a mocked DataFrameWriterV2)."""
 import os
 
 import pytest
-from pyspark.sql import DataFrame
 
 from s3_log_parser_spark.sources.catalog import Catalog
 
