@@ -68,7 +68,14 @@ def ensure_transcripts(spark, turns: int, out_root: str) -> str:
     if not os.path.isdir(os.path.join(src)) or not os.path.exists(
         os.path.join(src, "_SUCCESS")
     ):
-        gen_transcripts(spark, rows=turns).write.mode("overwrite").parquet(src)
+        # equal-size files, count divisible by every leg's slot count
+        # (1, 4, 32): whichever leg generates the input first, no leg's
+        # scan stage gets uneven waves or straggler splits — a ragged
+        # 11-split scan on 4 slots wastes ~8% of the fast leg
+        parts = 32 if turns > 8_000_000 else 16
+        gen_transcripts(spark, rows=turns, partitions=parts).write.mode(
+            "overwrite"
+        ).parquet(src)
     return src
 
 
@@ -78,16 +85,15 @@ def pipeline_run(cores: int, turns: int, out_root: str) -> dict:
     from s3_log_parser_spark.session import get_spark
     from s3_log_parser_spark.sources.gen import gen_transcripts
 
-    extra = {}
-    if os.environ.get("BENCH_PIPELINE_ONLY"):
-        # pinned scaling legs only: fresh Python worker per task.
-        # Observed once on this host: Spark 4.1's single-threaded Arrow
-        # PythonRunner deadlocked mid-stage against a REUSED worker
-        # (JVM epoll-blocked on worker output, worker select-blocked on
-        # input, both idle forever). Costs ~100 ms/task here; the leg
-        # watchdog below is the backstop.
-        extra["spark.python.worker.reuse"] = "false"
-    spark = get_spark(app_name=f"bench-{cores}", cores=cores, extra_conf=extra)
+    # NB: legs keep spark.python.worker.reuse=true (default). A
+    # fresh-worker-per-task policy was tried as a guard against a
+    # once-observed JVM↔reused-worker deadlock (Spark 4.1 single-thread
+    # Arrow PythonRunner: JVM epoll-blocked on worker output, worker
+    # select-blocked on input) but measurably cost the 4N leg ~10%
+    # (worker fork + numpy/pyarrow import per task) and with it ~0.07
+    # of scaling efficiency. The run_pinned_leg watchdog + retry is the
+    # cheaper insurance against the (~3%/leg) hang.
+    spark = get_spark(app_name=f"bench-{cores}", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
 
     src = ensure_transcripts(spark, turns, out_root)
@@ -145,8 +151,8 @@ def run_pinned_leg(
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{2 * executors - 1}"] + cmd
     # generous: timed run + warmup + first-leg data generation, all on
-    # few pinned cores; the slowest healthy leg measured ≈ 350 s
-    deadline = int(os.environ.get("BENCH_LEG_TIMEOUT", "1200"))
+    # few pinned cores; the slowest healthy leg measured ≈ 400 s total
+    deadline = int(os.environ.get("BENCH_LEG_TIMEOUT", "800"))
     for attempt in range(attempts):
         try:
             p = subprocess.run(
