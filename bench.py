@@ -212,18 +212,26 @@ def main() -> None:
         # far more vulnerable to a single spike, and an extra sample
         # of it costs 3× less — so it gets more repeats.
         rep_lo = int(os.environ.get("BENCH_SCALING_REPEATS_LO", "2"))
-        rep_hi = int(os.environ.get("BENCH_SCALING_REPEATS_HI", "3"))
-        repeats = {lo_c: rep_lo, hi_c: rep_hi}
-        legs = {}
-        for c in (hi_c, lo_c):
-            best = None
-            for _ in range(repeats[c]):
-                leg = run_pinned_leg(c, s_turns, out_root)
-                if leg is not None and (
-                    best is None or leg["turns_per_sec"] > best["turns_per_sec"]
-                ):
-                    best = leg
-            legs[c] = best
+        rep_hi = int(os.environ.get("BENCH_SCALING_REPEATS_HI", "4"))
+        # ALTERNATE the legs (hi, lo, hi, lo, hi) instead of running
+        # all-hi then all-lo: a transient neighbor load that overlaps
+        # only one block would contaminate exactly one leg's every
+        # sample and silently skew the ratio (observed: a concurrent
+        # test run during the hi block alone read as efficiency 0.55)
+        order = []
+        for i in range(max(rep_hi, rep_lo)):
+            if i < rep_hi:
+                order.append(hi_c)
+            if i < rep_lo:
+                order.append(lo_c)
+        legs = {hi_c: None, lo_c: None}
+        for c in order:
+            leg = run_pinned_leg(c, s_turns, out_root)
+            if leg is not None and (
+                legs[c] is None
+                or leg["turns_per_sec"] > legs[c]["turns_per_sec"]
+            ):
+                legs[c] = leg
         if legs[hi_c] is None or legs[lo_c] is None:
             scaling = {
                 "error": "a scaling leg failed every attempt (see stderr)",
