@@ -16,6 +16,7 @@ so cross-engine results are bit-identical.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1291,7 +1292,9 @@ def _mmf(spark, sf):
 # --- transcript pipeline (generator + Arrow-UDF parse, oracled against
 # the committed golden slim parquet of the same seed-42 10k fixture) ---------
 
-_GOLDEN_SLIM = "/root/repo/golden/slim.parquet/*.parquet"
+_GOLDEN_SLIM = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "golden", "slim.parquet", "*.parquet"
+)
 
 
 @q(

@@ -117,8 +117,11 @@ def bank_winner(ua: Column, bank: Column, default: int) -> Column:
     matches = F.filter(
         bank, lambda x: ua.isNotNull() & ua.contains(x["pattern"])
     )
+    # F.get is 0-indexed and NULL-safe under BOTH ANSI modes; element_at
+    # throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT on empty arrays when
+    # spark.sql.ansi.enabled=true (Spark 4 default).
     return F.coalesce(
-        F.element_at(matches, 1)["sid"], F.lit(default)
+        F.get(matches, 0)["sid"], F.lit(default)
     ).cast("int")
 
 

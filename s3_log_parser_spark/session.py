@@ -42,7 +42,14 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.ansi.enabled", "false")
+        # SPARK_GRAFT_ANSI=true runs the library under Spark 4's default
+        # ANSI semantics — the driver harness uses a default session, so
+        # CI must cover both modes (round-2 lesson: an element_at-on-empty
+        # bug passed every ANSI-off test and died in the driver).
+        .config(
+            "spark.sql.ansi.enabled",
+            os.environ.get("SPARK_GRAFT_ANSI", "false"),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config(
             "spark.sql.adaptive.enabled",
