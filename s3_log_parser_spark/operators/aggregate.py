@@ -75,14 +75,20 @@ def grouped_export(
     keyc = F.col(key) if isinstance(key, str) else key
     order = [F.col(c) for c in member_order] or [F.lit(1)]
     w = Window.partitionBy(keyc).orderBy(*order)
+    # collision-safe working names: an input frame carrying either name
+    # would otherwise produce ambiguous-column failures or wrong counts
+    grp_n, rn = "__s3lp_grp_n__", "__s3lp_rn__"
+    assert grp_n not in df.columns and rn not in df.columns, (
+        f"input must not carry reserved working columns {grp_n!r}/{rn!r}"
+    )
     capped = (
-        df.withColumn("_grp_n", F.count("*").over(Window.partitionBy(keyc)))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= max_rows_per_group)
+        df.withColumn(grp_n, F.count("*").over(Window.partitionBy(keyc)))
+        .withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) <= max_rows_per_group)
     )
     member_cols = [c for c in df.columns]
     return capped.groupBy(key).agg(
-        F.max("_grp_n").alias("count"),
+        F.max(grp_n).alias("count"),
         F.collect_list(F.struct(*member_cols)).alias("logs"),
     )
 
@@ -96,6 +102,7 @@ def grouped_export_json(
     group_name: str,
     max_rows_per_group: int = 1000,
     member_order: tuple[str, ...] = (),
+    max_groups: int = 100_000,
 ) -> str:
     """S6: the reference's grouped-JSON document shape —
     ``{"grouped_by": name, "groups": {key: {"count": N, "logs": [...]}},
@@ -104,13 +111,18 @@ def grouped_export_json(
     reference's literal output is malformed: missing quote at :240,
     trailing comma at :245; FIXTURES.md defines ours as golden).
 
-    Per F2 (:330-335) hash columns render as 8-char lowercase hex; per
-    F1 (:309-327) timestamps render ``yyyy-MM-dd HH:mm:ss`` (UTC-pinned
-    — documented deviation from the reference's localtime).
+    Key rendering mirrors the reference: GROUP_TIME keys print as
+    formatted timestamps of the bucket start (``format_timestamp``,
+    s3extract.c:263-270 — here ``day_bucket*86400`` rendered UTC), and
+    hash-column keys as 8-hex (F2, :330-335). Per F1 (:309-327) member
+    timestamps render ``yyyy-MM-dd HH:mm:ss`` (UTC-pinned — documented
+    deviation from the reference's localtime).
 
     This document is inherently driver-materialized (the reference
     holds every group in RAM, README.md:220-235); members are capped
-    per group, and the router's per-sink tables remain the scale path.
+    per group, and ``max_groups`` bounds driver memory on the group
+    axis (raises rather than silently truncating — the router's
+    per-sink tables remain the scale path, SURVEY §2.7).
     """
     fmt = df
     for c in _HASH_COLS:
@@ -121,10 +133,25 @@ def grouped_export_json(
             fmt = fmt.withColumn(
                 fld.name, F.date_format(fld.name, "yyyy-MM-dd HH:mm:ss")
             )
+    if key == "day_bucket":
+        # GROUP_TIME key = formatted bucket-start timestamp
+        fmt = fmt.withColumn(
+            key,
+            F.date_format(
+                F.timestamp_seconds(F.col(key) * SECONDS_PER_DAY),
+                "yyyy-MM-dd HH:mm:ss",
+            ),
+        )
     grouped = grouped_export(
         fmt, key, max_rows_per_group=max_rows_per_group,
         member_order=member_order,
-    ).collect()
+    ).limit(max_groups + 1).collect()
+    if len(grouped) > max_groups:
+        raise ValueError(
+            f"grouped_export_json: >{max_groups} groups would be "
+            "materialized on the driver; raise max_groups explicitly or "
+            "use the router's per-sink tables (the scale path)"
+        )
     groups = {
         str(r[key]): {
             "count": r["count"],

@@ -256,15 +256,51 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold_x1000: int = 300,
     group_col: str | None = None,
+    auto_block: bool = False,
+    unblocked_limit: int = 10_000,
 ) -> DataFrame:
-    """exact n-gram Jaccard similarity for all pairs (optionally only
-    within ``group_col`` blocks — the classic blocking trick that keeps
-    the self-join from being O(N²) at scale)."""
+    """exact n-gram Jaccard similarity for candidate pairs.
+
+    Safe-by-default at scale (VERDICT r2 #5): the un-blocked all-pairs
+    self-join is O(N²) and only permitted for small inputs. Pass one of
+
+    - ``group_col`` — exact pairs within blocks (classic blocking);
+    - ``auto_block=True`` — candidate pairs from MinHash LSH banding,
+      then *exact* Jaccard scored on candidates only. Linear-ish cost;
+      recall < 1 for pairs whose signatures share no band (documented
+      approximation — same trade as every production near-dup pipeline);
+    - neither — allowed only when the input has ≤ ``unblocked_limit``
+      rows (cheap ``limit(n+1)`` probe); larger inputs raise rather
+      than silently launching an accidental cartesian at 100 TB.
+    """
     hdf = df.select(
         F.col(id_col).alias("id"),
         *( [F.col(group_col).alias("grp")] if group_col else [] ),
         shingle_hashes(text_col, n).alias("sh"),
     )
+    if group_col is None and auto_block:
+        cand = minhash_candidates(df, id_col, text_col, n=n)
+        return (
+            cand.join(hdf.select(F.col("id").alias("id_a"),
+                                 F.col("sh").alias("_sh_a")), "id_a")
+            .join(hdf.select(F.col("id").alias("id_b"),
+                             F.col("sh").alias("_sh_b")), "id_b")
+            .select(
+                "id_a", "id_b",
+                jaccard_x1000(F.col("_sh_a"), F.col("_sh_b")).alias(
+                    "jaccard_x1000"
+                ),
+            )
+            .filter(F.col("jaccard_x1000") >= threshold_x1000)
+        )
+    if group_col is None:
+        probe = df.select(F.lit(1)).limit(unblocked_limit + 1).count()
+        if probe > unblocked_limit:
+            raise ValueError(
+                f"ngram_jaccard_pairs: un-blocked all-pairs join on "
+                f">{unblocked_limit} rows is O(N²); pass group_col=, "
+                "auto_block=True, or raise unblocked_limit explicitly"
+            )
     a, b = hdf.alias("a"), hdf.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     if group_col:

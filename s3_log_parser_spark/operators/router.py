@@ -127,7 +127,13 @@ def route_and_write(
                     slim.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
                 )
                 s = max(1, nshuf // 16)
-                salt = F.pmod(F.spark_partition_id(), F.lit(s))
+                # deterministic salt (spark_partition_id is retry-
+                # dependent: under task/stage retries rows could land in
+                # different shuffle outputs) — hash stable row columns
+                salt_cols = [
+                    c for c in ("conv_id", "turn_idx") if c in routed.columns
+                ] or [c for c in routed.columns if c not in r.partition_by][:2]
+                salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(s))
                 w = routed.repartition(
                     *[F.col(c) for c in r.partition_by], salt
                 )

@@ -210,3 +210,35 @@ def test_jaccard_empty_union_is_zero(spark):
     ).collect()[0]
     # two empty docs: single empty-string shingle each → identical sets
     assert r["j"] in (0, 1000)
+
+
+def test_ngram_jaccard_unblocked_guard(spark):
+    """VERDICT r2 #5: un-blocked all-pairs on a big input must raise,
+    not launch an accidental O(N^2) join."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from s3_log_parser_spark.operators.dedup import ngram_jaccard_pairs
+
+    big = spark.range(200).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta "), F.col("id")).alias("text"),
+    )
+    with _pytest.raises(ValueError, match="O\\(N"):
+        ngram_jaccard_pairs(big, unblocked_limit=100)
+    # auto_block path executes and scores exact jaccard on candidates,
+    # and every pair it emits is present in the exact all-pairs result
+    approx = {
+        (r.id_a, r.id_b, r.jaccard_x1000)
+        for r in ngram_jaccard_pairs(
+            big, auto_block=True, threshold_x1000=100
+        ).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b, r.jaccard_x1000)
+        for r in ngram_jaccard_pairs(
+            big, unblocked_limit=1000, threshold_x1000=100
+        ).collect()
+    }
+    assert approx <= exact
+    assert approx, "LSH banding should catch the near-identical docs"

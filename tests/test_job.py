@@ -6,6 +6,7 @@ import os
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from s3_log_parser_spark.job import main
 
@@ -67,3 +68,27 @@ def test_run_verbose_writes_lineage(spark, tmp_path, capsys):
     lin = spark.read.parquet(os.path.join(out, "_lineage"))
     rows = lin.agg({"rows": "sum"}).collect()[0][0]
     assert rows == 1000, "lineage row counts must cover every slim row"
+
+
+def test_grouped_export_json_max_groups_guard(spark):
+    """VERDICT r2 #6: the driver-materialized export must refuse
+    unbounded group counts instead of OOMing the driver."""
+    from s3_log_parser_spark.operators.aggregate import grouped_export_json
+
+    df = spark.range(100).withColumn("k", F.col("id") % 50)
+    with pytest.raises(ValueError, match="max_groups"):
+        grouped_export_json(df, "k", "fifty_groups", max_groups=10)
+    # raising the cap succeeds
+    doc = json.loads(
+        grouped_export_json(df, "k", "fifty_groups", max_groups=50)
+    )
+    assert doc["total_groups"] == 50
+
+
+def test_grouped_export_reserved_column_collision(spark):
+    """Working columns must not silently collide with input columns."""
+    from s3_log_parser_spark.operators.aggregate import grouped_export
+
+    df = spark.range(10).withColumn("__s3lp_rn__", F.lit(1))
+    with pytest.raises(AssertionError, match="reserved working column"):
+        grouped_export(df, "id", max_rows_per_group=2)
