@@ -6,9 +6,11 @@ bus/allocator and the parse stage stops scaling (measured: extract-only
 29 s on 32 cores vs 19 s on 8 — negative scaling). This variant keeps
 every per-row operation inside Arrow C++ kernels via ``mapInArrow``:
 
-- RE2 ``extract_regex`` over the Arrow string buffer (reduced pattern:
-  only the fields the slim record needs capture; the rest are
-  non-capturing) — no Python objects materialize;
+- validity via ONE capture-free RE2 match (pure DFA — a 10-capture
+  ``extract_regex`` falls back to RE2's ~9× slower capture engines,
+  measured 86% of the old kernel) + positional field extraction with
+  plain-char ``split_pattern`` / ``list_element`` C++ kernels, invalid
+  rows shape-normalized through a dummy line and masked back to NULL;
 - DJB2 via dictionary-encode → hash the (small) dictionary in Python →
   ``take`` back, so Python cost is O(distinct), not O(rows);
 - ``strptime`` + explicit UTC-offset arithmetic for the timestamp
@@ -56,6 +58,21 @@ def _reduced_pattern() -> str:
 
 SLIM_ARROW_PATTERN = _reduced_pattern()
 
+# capture-free twin of the full line pattern: with zero capture groups
+# RE2 stays in its DFA (a single linear scan); with 10 captures it falls
+# back to the ~9× slower capture engines. Validity is decided by this
+# DFA match, fields by positional splits (see parse_text_arrow).
+VALIDITY_PATTERN = re.sub(r"\(\?P<[a-z_]+>", "(?:", S3_LINE_PATTERN)
+
+# canonical well-formed line substituted for invalid rows so the
+# positional split kernels see a uniform shape (every extracted field
+# is masked back to NULL afterwards via the validity mask)
+_DUMMY_LINE = (
+    "o b [03/May/2025:20:08:12 +0000] 1.2.3.4 - R REST.GET.OBJECT "
+    '/t/k.mp3 "GET /t/k.mp3 HTTP/1.1" 206 - 1 2 3 4 "-" "ua" '
+    "- h S c A hh T a f"
+)
+
 _OUT_FIELDS = [
     ("event_ts", T.TimestampType()),
     ("parse_status", T.StringType()),
@@ -78,11 +95,15 @@ def parse_text_arrow(
 ) -> DataFrame:
     """fused grok+DJB2+timestamp parse as a mapInArrow transform.
 
-    Appends the typed slim-parse columns to the input columns.
+    Appends the typed slim-parse columns to the input columns and DROPS
+    ``text_col`` from the output: nothing downstream reads the raw line
+    once it's parsed, and NOT re-serializing ~440 B/row back across the
+    Arrow socket saves ~4.4 GB of worker→JVM transfer at 10 M rows
+    (measured ~1.5 s of the parse stage on local[32]).
     """
     in_schema = df.schema
     out_schema = T.StructType(
-        list(in_schema.fields)
+        [f for f in in_schema.fields if f.name != text_col]
         + [T.StructField(n, t, True) for n, t in _OUT_FIELDS]
     )
 
@@ -115,19 +136,48 @@ def parse_text_arrow(
             text = batch.column(batch.schema.get_field_index(text_col))
             conv = batch.column(batch.schema.get_field_index(conv_col))
 
-            st = pc.extract_regex(text, pattern=SLIM_ARROW_PATTERN)
-            f = lambda n: pc.struct_field(st, n)  # noqa: E731
+            # validity: one capture-free DFA pass (same regex shape the
+            # slower engines would match — ok ≡ "owner capture non-null"
+            # of the old extract_regex form, pinned by the 3-way parser
+            # equality tests)
+            okf = pc.fill_null(
+                pc.match_substring_regex(text, VALIDITY_PATTERN), False
+            )
+            # invalid rows get a canonical dummy so every positional
+            # split below sees a uniform shape; all their fields are
+            # masked back to NULL at the end
+            safe = pc.if_else(
+                okf, pc.fill_null(text, ""), pa.scalar(_DUMMY_LINE)
+            )
 
-            # timestamp: "dd/Mon/yyyy:HH:mm:ss +zzzz" → UTC
-            tss = f("ts_str")
+            # positional extraction via plain-char splits (pure C++
+            # kernels, ~2.6× faster than the 10-capture extract_regex):
+            # quote segments: 0 head | 1 uri | 2 mid | 3 ref | 4 ' ' |
+            # 5 user_agent | 6 tail [| 7 range | 8 ''] — fields we need
+            # live in 0/2/5, present in every valid line. Unquoted S3
+            # fields cannot contain '"' (URL-encoded in real logs).
+            qs = pc.split_pattern(safe, '"')
+            head_toks = pc.split_pattern(pc.list_element(qs, 0), " ")
+            mid_toks = pc.split_pattern(pc.list_element(qs, 2), " ")
+            le = pc.list_element
+
+            def masked(arr, default=None):
+                return pc.if_else(okf, arr, pa.scalar(default, arr.type))
+
+            ua = masked(le(qs, 5))
+            ip = masked(le(head_toks, 4))
+            key = masked(le(head_toks, 8))
+
+            # timestamp: head tokens 2/3 are "[dd/Mon/yyyy:HH:mm:ss"
+            # and "+zzzz]" → UTC
             base = pc.strptime(
-                pc.utf8_slice_codeunits(tss, 0, 20),
+                pc.utf8_slice_codeunits(le(head_toks, 2), 1, 21),
                 format="%d/%b/%Y:%H:%M:%S",
                 unit="us",
                 error_is_null=True,
             )
             # offset handling via the (tiny) distinct-offset dictionary
-            off = pc.utf8_slice_codeunits(tss, 21, 26)
+            off = pc.utf8_slice_codeunits(le(head_toks, 3), 0, 5)
             od = pc.dictionary_encode(off)
 
             def off_secs(v):
@@ -143,55 +193,66 @@ def parse_text_arrow(
                 [off_secs(v) for v in od.dictionary.to_pylist()], pa.int64()
             )
             osec = pc.fill_null(pc.take(olut, od.indices), 0)
-            event_ts = pc.subtract(
-                base, pc.cast(pc.multiply(osec, 1_000_000), pa.duration("us"))
+            event_ts = masked(
+                pc.subtract(
+                    base,
+                    pc.cast(pc.multiply(osec, 1_000_000), pa.duration("us")),
+                )
             )
 
-            owner_null = pc.is_null(f("owner"))
             status = pc.if_else(
-                owner_null,
+                pc.invert(okf),
                 pa.scalar("bad_format"),
                 pc.if_else(
-                    pc.and_(pc.is_valid(tss), pc.is_null(event_ts)),
-                    pa.scalar("bad_time"),
-                    pa.scalar("ok"),
+                    pc.is_null(event_ts), pa.scalar("bad_time"), pa.scalar("ok")
                 ),
             )
 
-            key = f("key")
             seg = pc.struct_field(
                 pc.extract_regex(pc.fill_null(key, ""), pattern=r"^/?(?P<seg>[^/]*)"),
                 "seg",
             )
             # extract_path: NULL/'' key → seed (src/s3parser.c:425-428)
+            # optional trailing quoted range = quote segment 7 when
+            # present (fixed-size slice keeps row alignment, NULL when
+            # the line has no range — and the dummy has none, so invalid
+            # rows are NULL for free)
+            range_header = pc.list_element(
+                pc.list_slice(qs, 7, 8, return_fixed_size_list=True), 0
+            )
             rng = pc.extract_regex(
-                pc.fill_null(f("range_header"), ""),
+                pc.fill_null(range_header, ""),
                 pattern=r"bytes=?(?P<s>[0-9]+)-(?P<e>[0-9]+)",
             )
 
             cols = {
                 "event_ts": event_ts,
                 "parse_status": status,
-                "ip_hash": dict_hash(f("remote_ip")),
+                "ip_hash": dict_hash(ip),
                 "key_hash": dict_hash(key),
                 "tool_hash": dict_hash(seg),
                 "conv_hash": dict_hash(conv),
-                "http_code_raw": digit_cast(f("http_code"), pa.int32()),
-                "bytes_sent": digit_cast(f("bytes_sent"), pa.int64()),
-                "object_size": digit_cast(f("object_size"), pa.int64()),
-                "total_time_ms": digit_cast(f("total_time_ms"), pa.int32()),
+                "http_code_raw": masked(digit_cast(le(mid_toks, 1), pa.int32())),
+                "bytes_sent": masked(digit_cast(le(mid_toks, 3), pa.int64())),
+                "object_size": masked(digit_cast(le(mid_toks, 4), pa.int64())),
+                "total_time_ms": masked(digit_cast(le(mid_toks, 5), pa.int32())),
                 "byte_start": pc.cast(pc.struct_field(rng, "s"), pa.int64()),
                 "byte_end": pc.cast(pc.struct_field(rng, "e"), pa.int64()),
-                "user_agent": f("user_agent"),
+                "user_agent": ua,
             }
-            arrays = list(batch.columns) + [
+            keep = [
+                (fld.name, batch.column(i))
+                for i, fld in enumerate(batch.schema)
+                if fld.name != text_col
+            ]
+            arrays = [c for _, c in keep] + [
                 pa.chunked_array([c]).combine_chunks()
                 if isinstance(c, pa.ChunkedArray)
                 else c
                 for c in cols.values()
             ]
             yield pa.RecordBatch.from_arrays(
-                arrays, names=[fld.name for fld in batch.schema] + list(cols)
+                arrays, names=[n for n, _ in keep] + list(cols)
             )
 
     return df.mapInArrow(run, out_schema)
