@@ -39,18 +39,15 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-HEADLINE_QUERIES = [
-    "tpch_q1_pricing_summary",
-    "j1_broadcast_dim_enrich",
-    "a1_group_count",
-    "st1_first_occurrence",
-    "e2_djb2_dictionary_hash",
-    "route_fanout_counts",
-    "dedup_minhash_lsh_pairs",
-    "knn_bruteforce_topk",
-    "text_quality_features",
-    "mm_media_metadata",
-]
+# every driver query is timed (VERDICT r2 #3: 11-of-46 sampling left 35
+# queries with no regression signal); BENCH_QUERY_FILTER=csv narrows for
+# local iteration.
+def bench_query_names(all_names):
+    filt = os.environ.get("BENCH_QUERY_FILTER")
+    if filt:
+        want = set(filt.split(","))
+        return [n for n in all_names if n in want]
+    return list(all_names)
 
 
 def sf_from_dir(d: str) -> float:
@@ -262,7 +259,7 @@ def main() -> None:
         spark = get_spark(app_name="bench-queries", cores=CPUS)
         spark.sparkContext.setLogLevel("ERROR")
         qs = entrymod.queries()
-        for name in HEADLINE_QUERIES:
+        for name in bench_query_names(qs):
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).count()
             qtimes[name] = round(time.perf_counter() - t0, 3)

@@ -33,8 +33,24 @@ def dot(a: Column, b: Column) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def dot_pre(a: Column, b: Column) -> Column:
+    """``dot`` for operands ALREADY cast array<double> (``as_double``
+    applied once per row). Identical FP results — float→double widening
+    then multiply is the same either way — but inside an O(N²) pairwise
+    join the per-pair ``transform`` casts of :func:`dot` allocate two
+    fresh arrays per pair; pre-casting moves that to once per row
+    (measured 40 s → a few s on the 2k-vector brute-force near-dup)."""
+    prods = F.zip_with(a, b, lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
+
+
+def norm_pre(a: Column) -> Column:
+    """``norm`` for an already-double array (see :func:`dot_pre`)."""
+    return F.sqrt(dot_pre(a, a))
 
 
 def cosine(a: Column, b: Column) -> Column:

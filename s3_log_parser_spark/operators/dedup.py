@@ -430,18 +430,18 @@ def embedding_near_dups(
     Baseline path: O(N²/2) — fine for verification blocks; at scale
     pre-bucket with hyperplane LSH (similarity.ann_lsh_bucketed) and
     run this within buckets only."""
-    from ..functions.vectors import dot, norm
+    from ..functions.vectors import as_double, dot_pre, norm_pre
 
-    # norms once per ROW, not per pair — Catalyst re-expands shared
-    # expressions across the self-join, so inline cosine() would fold
-    # three O(dim) passes into every one of the N²/2 pairs
+    # norms AND double casts once per ROW, not per pair — Catalyst
+    # re-expands shared expressions across the self-join, so inline
+    # cosine() would fold three O(dim) passes (plus two array-allocating
+    # casts) into every one of the N²/2 pairs
     v = df.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        norm(F.col(vec_col)).alias("nrm"),
-    )
+        as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("nrm", norm_pre(F.col("v")))
     a, b = v.alias("a"), v.alias("b")
-    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    cos = dot_pre(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
         .select(
@@ -476,14 +476,15 @@ def embedding_near_dups_bucketed(
     2^n_planes buckets (raise ``n_planes`` with corpus size; buckets
     are sign-hash-distributed, so the join shuffle is uniform).
     """
-    from ..functions.vectors import dot as _dot
-    from ..functions.vectors import norm as _norm
+    from ..functions.vectors import as_double, dot_pre, norm_pre
     from .similarity import with_lsh_bucket
 
     v = with_lsh_bucket(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
         "v", n_planes, dim,
-    ).withColumn("nrm", _norm(F.col("v")))
+    ).withColumn("v", as_double(F.col("v"))).withColumn(
+        "nrm", norm_pre(F.col("v"))
+    )
     probes = [F.col("lsh_bucket")]
     if probe_radius >= 1:
         probes += [
@@ -492,7 +493,7 @@ def embedding_near_dups_bucketed(
     a = v.withColumn("probe", F.explode(F.array(*probes))).drop("lsh_bucket")
     b = v.withColumnRenamed("lsh_bucket", "probe")
     a, b = a.alias("a"), b.alias("b")
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    cos = dot_pre(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, (F.col("a.probe") == F.col("b.probe")) & (F.col("a.id") < F.col("b.id")))
         .select(

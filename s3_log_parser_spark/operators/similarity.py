@@ -20,18 +20,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_x1m, dot, hyperplane_bits, norm
+from ..functions.vectors import (
+    as_double,
+    dot_pre,
+    hyperplane_bits,
+    norm_pre,
+)
 
 
 def _with_norm(df, vec, out="nrm"):
-    return df.withColumn(out, norm(F.col(vec)))
+    # cast the vector to array<double> ONCE per row and keep it: inside
+    # the pairwise joins below, every per-pair evaluation of an un-cast
+    # dot() would re-run two transform casts (two array allocations per
+    # pair — the r2 knn_bruteforce 0.87→1.33 s regression was exactly
+    # this on the query side)
+    return df.withColumn(vec, as_double(F.col(vec))).withColumn(
+        out, norm_pre(F.col(vec))
+    )
 
 
 def _cos_x1m(a_vec, b_vec, a_nrm, b_nrm):
-    # identical FP ops to cosine_x1m, but the per-row norms are
-    # precomputed once instead of re-expanded into every pair
+    # identical FP ops to cosine_x1m, but per-row norms and double
+    # casts are precomputed once instead of re-expanded into every pair
     return F.floor(
-        dot(a_vec, b_vec) / (a_nrm * b_nrm) * 1_000_000
+        dot_pre(a_vec, b_vec) / (a_nrm * b_nrm) * 1_000_000
     ).cast("long")
 
 
@@ -171,7 +183,7 @@ def ivf_topk(
         F.pmod(F.col(id_col).cast("long"), F.lit(1 << 31)) * F.lit(2654435761),
         F.lit(1 << 32),
     )
-    cent = (
+    cent = _with_norm(
         corpus.select(
             F.col(id_col).alias("cent_id"),
             F.col(vec_col).alias("cent_vec"),
@@ -179,21 +191,31 @@ def ivf_topk(
         )
         .orderBy("_cr", "cent_id")
         .limit(n_cells)
-        .drop("_cr")
+        .drop("_cr"),
+        "cent_vec", "cent_nrm",
     )
 
     def assign(df: DataFrame, idc: str, vecc: str, nbest: int, out: str) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cent)).select(
+        pre = _with_norm(df, vecc, "_nrm")
+        scored = pre.crossJoin(F.broadcast(cent)).select(
             F.col(idc),
             F.col(vecc),
+            F.col("_nrm"),
             F.col("cent_id"),
-            cosine_x1m(F.col(vecc), F.col("cent_vec")).alias("s"),
+            _cos_x1m(
+                F.col(vecc), F.col("cent_vec"), F.col("_nrm"), F.col("cent_nrm")
+            ).alias("s"),
         )
         w = Window.partitionBy(idc).orderBy(F.col("s").desc(), F.col("cent_id"))
         return (
             scored.withColumn("_r", F.row_number().over(w))
             .filter(F.col("_r") <= nbest)
-            .select(F.col(idc), F.col(vecc), F.col("cent_id").alias(out))
+            .select(
+                F.col(idc),
+                F.col(vecc),
+                F.col("_nrm").alias(f"{idc}_nrm"),
+                F.col("cent_id").alias(out),
+            )
         )
 
     c = assign(
@@ -209,7 +231,10 @@ def ivf_topk(
         .filter(F.col("q_id") != F.col("c_id"))
         .select(
             "q_id", "c_id",
-            cosine_x1m(F.col("q_vec"), F.col("c_vec")).alias("cosine_x1m"),
+            _cos_x1m(
+                F.col("q_vec"), F.col("c_vec"),
+                F.col("q_id_nrm"), F.col("c_id_nrm"),
+            ).alias("cosine_x1m"),
         )
         .distinct()
     )
