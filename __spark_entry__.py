@@ -1118,6 +1118,31 @@ def _ttok(spark, sf):
     )
 
 
+_GOLDEN_BPE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "golden", "bpe_counts_sf001.parquet"
+)
+
+
+@q(
+    "text_bpe_real_counts",
+    f"""
+    SELECT doc_id, CAST(n_bpe_real AS BIGINT) AS n_bpe_real
+    FROM read_parquet('{_GOLDEN_BPE}')
+    """,
+)
+def _tbpe(spark, sf):
+    # Spark recomputes the merge-loop BPE (pandas UDF over the committed
+    # 80-merge table); DuckDB reads the committed golden counts produced
+    # by the pure-Python reference on the same sf0.01 fixture — an
+    # end-to-end pin of the non-SQL tokenizer (same pattern as
+    # pipeline_slim_status)
+    from s3_log_parser_spark.functions.bpe import bpe_token_count_real
+
+    return _t(spark, sf, "documents").select(
+        "doc_id", bpe_token_count_real("text").alias("n_bpe_real")
+    )
+
+
 _SW = {
     "en": "['the','a','of','and','to','in','is']",
     "de": "['der','die','das','und','nicht','ein']",

@@ -1,0 +1,78 @@
+"""Real merge-loop BPE token counting (VERDICT r2 #8).
+
+The regex proxy in :mod:`text` (``bpe_token_count``) counts
+letter/digit/punct runs — a labeled approximation. This module applies
+a genuine BPE encoder (standard algorithm: greedy lowest-rank adjacent
+merge until fixed point) over the committed mini merge table
+(:mod:`bpe_merges`, 80 merges trained once on the fixture corpus by
+``tools/train_bpe.py``), making token budgets meaningful for a
+training-data pipeline.
+
+Spark shape: the merge loop is inherently sequential per pre-token, so
+it runs in an Arrow-batched pandas UDF — with an unbounded per-worker
+``lru_cache`` on distinct pre-tokens, the Python cost is
+O(distinct pre-tokens), not O(tokens) (natural-language corpora are
+Zipfian: the cache hit rate at scale is ~99%). Counts only cross the
+Arrow boundary (one int64 per row).
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from .bpe_merges import MERGES
+from .text import BPE_RE
+
+_RANK: dict[tuple[str, str], int] = {pair: i for i, pair in enumerate(MERGES)}
+
+
+def bpe_units(pretoken: str, rank: dict[tuple[str, str], int] | None = None) -> int:
+    """number of BPE units for one pre-token (pure-Python reference)."""
+    rank = _RANK if rank is None else rank
+    w = list(pretoken)
+    while len(w) > 1:
+        best_i, best_r = -1, None
+        for i in range(len(w) - 1):
+            r = rank.get((w[i], w[i + 1]))
+            if r is not None and (best_r is None or r < best_r):
+                best_i, best_r = i, r
+        if best_r is None:
+            break
+        w[best_i : best_i + 2] = [w[best_i] + w[best_i + 1]]
+    return len(w)
+
+
+def bpe_token_count_py(text: str | None) -> int:
+    """pure-Python reference: total BPE units of a document."""
+    if not text:
+        return 0
+    return sum(bpe_units(t) for t in re.findall(BPE_RE, text))
+
+
+@pandas_udf(T.LongType())
+def _bpe_count_udf(texts: pd.Series) -> pd.Series:
+    pat = re.compile(BPE_RE)
+
+    @lru_cache(maxsize=None)
+    def units(tok: str) -> int:
+        return bpe_units(tok)
+
+    return texts.map(
+        lambda t: sum(units(tok) for tok in pat.findall(t)) if t else 0,
+        na_action=None,
+    ).astype("int64")
+
+
+def bpe_token_count_real(col: Column | str) -> Column:
+    """real BPE unit count (committed 80-merge table) — the Python
+    path of the tokenizer surface; the regex proxy remains the
+    zero-Python fallback (``text.bpe_token_count``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return _bpe_count_udf(c)

@@ -71,3 +71,38 @@ def test_fingerprint_order_invariant(spark):
     assert got[0] == got[1]  # same token set
     assert got[0] != got[2]
     assert got[0] == djb2_py("a b c")  # canonical form is sorted-distinct join
+
+
+def test_bpe_real_merge_loop(spark):
+    """real BPE: greedy lowest-rank merge parity with hand-checked
+    cases + Spark UDF == pure-Python reference on the fixture docs."""
+    from s3_log_parser_spark.functions.bpe import (
+        bpe_token_count_py,
+        bpe_token_count_real,
+        bpe_units,
+    )
+
+    # hand-checkable: with rank {('a','b'):0, ('ab','c'):1}, "abc" -> 1
+    rank = {("a", "b"): 0, ("ab", "c"): 1}
+    assert bpe_units("abc", rank) == 1
+    assert bpe_units("acb", rank) == 3  # no adjacent merge applies
+    assert bpe_units("", rank) == 0
+    assert bpe_token_count_py(None) == 0
+    assert bpe_token_count_py("") == 0
+
+    import duckdb
+
+    pdf = duckdb.sql(
+        "SELECT doc_id, text FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).df()
+    want = {
+        int(r.doc_id): bpe_token_count_py(r.text) for r in pdf.itertuples()
+    }
+    got = {
+        r["doc_id"]: r["n_bpe_real"]
+        for r in spark.createDataFrame(pdf)
+        .select("doc_id", bpe_token_count_real("text").alias("n_bpe_real"))
+        .collect()
+    }
+    assert got == want
