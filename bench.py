@@ -42,12 +42,17 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # every driver query is timed (VERDICT r2 #3: 11-of-46 sampling left 35
 # queries with no regression signal); BENCH_QUERY_FILTER=csv narrows for
 # local iteration.
+# e2e-harness queries (streaming run + full checkpointed pipeline): not
+# operator timings, excluded from the per-query block
+NON_OPERATOR_QUERIES = {"streaming_router_parity"}
+
+
 def bench_query_names(all_names):
     filt = os.environ.get("BENCH_QUERY_FILTER")
     if filt:
         want = set(filt.split(","))
         return [n for n in all_names if n in want]
-    return list(all_names)
+    return [n for n in all_names if n not in NON_OPERATOR_QUERIES]
 
 
 def sf_from_dir(d: str) -> float:

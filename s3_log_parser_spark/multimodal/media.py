@@ -37,11 +37,25 @@ MEDIA_META_SCHEMA = T.StructType(
 )
 
 
-def decode_real(payload: bytes, media_type: str):  # pragma: no cover
-    """Real codec hook — deliberately unimplemented in this container."""
+def decode_real(payload: bytes, media_type: str) -> dict:  # pragma: no cover
+    """Real codec hook — deliberately unimplemented in this container.
+
+    DECODER CONTRACT (what a PIL/ffmpeg-backed implementation — or any
+    callable passed as ``extract_media_metadata(decoder=...)`` — must
+    satisfy; pinned by tests/test_multimodal.py's fake-codec contract
+    test):
+
+    - called once per non-NULL payload with ``(payload: bytes,
+      media_type: str)``;
+    - returns a mapping with any subset of the keys ``width``,
+      ``height``, ``n_frames``, ``sample_rate`` (ints); missing keys
+      become NULL in the output row (e.g. audio has no width);
+    - raises to fail the task (corrupt-payload policy belongs inside
+      the decoder — return ``{}`` to emit an all-NULL metadata row).
+    """
     raise NotImplementedError(
         "media decode requires PIL/ffmpeg/soundfile, not present in this "
-        "environment; use decode_fake for plumbing tests"
+        "environment; pass decoder= (same contract) or use the fake path"
     )
 
 
@@ -63,34 +77,54 @@ def extract_media_metadata(
     payload_col: str = "payload",
     type_col: str = "media_type",
     use_real_decoder: bool = False,
+    decoder=None,
 ) -> DataFrame:
     """mapInPandas media feature-extraction: one Arrow batch in, one
-    metadata frame out. Blob stays executor-local."""
+    metadata frame out. Blob stays executor-local.
+
+    ``decoder``: an injectable codec callable satisfying the
+    :func:`decode_real` contract — the seam where PIL/ffmpeg plugs in.
+    ``use_real_decoder=True`` selects :func:`decode_real` itself
+    (raises in this container). With neither, deterministic fake
+    metadata is derived from payload length (oracle-reproducible).
+    """
+    if use_real_decoder and decoder is None:
+        decoder = decode_real
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from s3_log_parser_spark.functions.hashes import djb2_py
 
         for pdf in batches:
             lens = pdf[payload_col].map(lambda b: 0 if b is None else len(b))
-            if use_real_decoder:  # pragma: no cover — stub by design
+            if decoder is not None:
+                # real-codec path: one decoder call per non-NULL payload,
+                # missing contract keys → NULL columns
                 decoded = [
-                    decode_real(b, t)
+                    decoder(b, t) if b is not None else {}
                     for b, t in zip(pdf[payload_col], pdf[type_col])
                 ]
-                raise AssertionError("unreachable: decode_real raises")
-            width = lens % 640 + 16
-            height = (lens * 7) % 480 + 16
-            n_frames = lens % 30 + 1
-            sample_rate = (lens % 4 + 1) * 8000
+
+                def col(k):
+                    return pd.Series(
+                        [d.get(k) for d in decoded], dtype="Int32"
+                    )
+
+                width, height = col("width"), col("height")
+                n_frames, sample_rate = col("n_frames"), col("sample_rate")
+            else:
+                width = (lens % 640 + 16).astype("int32")
+                height = ((lens * 7) % 480 + 16).astype("int32")
+                n_frames = (lens % 30 + 1).astype("int32")
+                sample_rate = ((lens % 4 + 1) * 8000).astype("int32")
             out = pd.DataFrame(
                 {
                     "media_id": pdf[id_col].astype("int64"),
                     "media_type": pdf[type_col],
                     "byte_len": lens.astype("int64"),
-                    "width": width.astype("int32"),
-                    "height": height.astype("int32"),
-                    "n_frames": n_frames.astype("int32"),
-                    "sample_rate": sample_rate.astype("int32"),
+                    "width": width,
+                    "height": height,
+                    "n_frames": n_frames,
+                    "sample_rate": sample_rate,
                     "content_hash": pdf[payload_col]
                     .map(lambda b: djb2_py(b))
                     .astype("int64"),

