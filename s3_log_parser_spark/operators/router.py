@@ -111,32 +111,53 @@ def route_and_write(
         if skip is None or not skip(stage):
             w = routed
             if r.partition_by:
-                # cluster rows by partition key before a partitioned
-                # write: without this every task emits one file per
-                # partition VALUE it sees (tasks × values files — 234
-                # for an 8-task by_day write), and the driver-side
+                # partitioned-write layout control: every task emits one
+                # file per partition VALUE it sees (tasks × values files
+                # — 234 for an 8-task by_day write), and the driver-side
                 # commit of those files is pure constant overhead that
-                # eats the speedup at higher parallelism. A salt keeps
-                # write parallelism from collapsing to the number of
-                # distinct values on big sessions (salt buckets scale
-                # with shuffle.partitions: 1 on small legs → minimal
-                # files, >1 on wide sessions → cores stay fed and hot
-                # values split across tasks — the same knob that caps
-                # per-task partition size at 100 TB).
-                nshuf = int(
-                    slim.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
-                )
-                s = max(1, nshuf // 16)
-                # deterministic salt (spark_partition_id is retry-
-                # dependent: under task/stage retries rows could land in
-                # different shuffle outputs) — hash stable row columns
-                salt_cols = [
-                    c for c in ("conv_id", "turn_idx") if c in routed.columns
-                ] or [c for c in routed.columns if c not in r.partition_by][:2]
-                salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(s))
-                w = routed.repartition(
-                    *[F.col(c) for c in r.partition_by], salt
-                )
+                # eats the speedup on NARROW sessions. Two strategies,
+                # auto-picked by session width (ROUTER_WRITE_STRATEGY
+                # overrides: salt|coalesce|plain):
+                #
+                # - "salt": repartition on (partition cols, deterministic
+                #   salt) — files ≈ salt_buckets × values regardless of
+                #   input width. The canonical 100 TB shape (also what a
+                #   cluster writing to an object store with per-file
+                #   commit cost wants), and the right call on narrow
+                #   local legs where a 300-file commit dwarfs the small
+                #   shuffle.
+                # - "coalesce": narrow-dependency fan-in, NO shuffle —
+                #   on wide local sessions the in-process commit of
+                #   tasks × values files is measurably cheaper than
+                #   shuffling the whole sink through the exchange
+                #   (10.1 s salt vs 4.6 s coalesce(16) for a 10 M-row
+                #   by-tool write at 32 cores; 320 local files commit in
+                #   ~no time, while the salt path moves ~1.5 GB twice).
+                spark = slim.sparkSession
+                cores = spark.sparkContext.defaultParallelism
+                strategy = _os.environ.get("ROUTER_WRITE_STRATEGY", "auto")
+                if strategy == "auto":
+                    strategy = "coalesce" if cores >= 16 else "salt"
+                if strategy == "coalesce":
+                    w = routed.coalesce(max(8, cores // 2))
+                elif strategy == "salt":
+                    nshuf = int(
+                        spark.conf.get("spark.sql.shuffle.partitions", "64")
+                    )
+                    s = max(1, nshuf // 16)
+                    # deterministic salt (spark_partition_id is retry-
+                    # dependent: under task/stage retries rows could
+                    # land in different shuffle outputs) — hash stable
+                    # row columns
+                    salt_cols = [
+                        c for c in ("conv_id", "turn_idx") if c in routed.columns
+                    ] or [c for c in routed.columns if c not in r.partition_by][:2]
+                    salt = F.pmod(
+                        F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(s)
+                    )
+                    w = routed.repartition(
+                        *[F.col(c) for c in r.partition_by], salt
+                    )
             catalog.write(w, r.name, mode=mode, partition_by=r.partition_by)
             # counts frames are tiny (≤ thousands of rows) — one file
             catalog.write(counts[r.name].coalesce(1), f"{r.name}_counts", mode=mode)

@@ -67,6 +67,14 @@ def get_spark(
         # smaller checkpoint feeds straight into faster route-stage
         # re-reads; at 100 TB it's the storage-cost default anyway
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # zstd level 1 (default is 3): 1.8× faster parquet encode for
+        # +4% size (measured 9.7 s → 5.5 s, 275 → 286 MB on a 10 M-row
+        # sink write) — the right trade for hot pipeline sinks; bump
+        # SPARK_GRAFT_ZSTD_LEVEL for cold archival tables
+        .config(
+            "spark.hadoop.parquet.compression.codec.zstd.level",
+            os.environ.get("SPARK_GRAFT_ZSTD_LEVEL", "1"),
+        )
         # 64 MB scan splits (vs 128 MB default): the parse stage is
         # CPU-bound Python over *compressed* text (snappy packs ~10×),
         # so smaller bins keep every core fed on modest inputs; Spark's
