@@ -125,3 +125,30 @@ def test_no_python_udf_outside_parse(spark, transcripts):
     plan = slim._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python UDF
     assert "ArrowEvalPython" not in plan  # fully JVM in this variant
+
+
+def test_router_write_strategies_equivalent(spark, transcripts, tmp_path):
+    """The width-adaptive write layouts (salt repartition vs shuffle-free
+    coalesce) must produce identical sink CONTENT — only file layout may
+    differ."""
+    import os
+
+    from s3_log_parser_spark.operators.router import align_schema, route_and_write
+    from s3_log_parser_spark.plans.pipeline import build_slim
+    from s3_log_parser_spark.sources.catalog import Catalog
+
+    slim = build_slim(transcripts.limit(2000))
+    results = {}
+    for strat in ("salt", "coalesce"):
+        os.environ["ROUTER_WRITE_STRATEGY"] = strat
+        try:
+            out = str(tmp_path / strat)
+            cat = Catalog(spark, out)
+            route_and_write(slim, cat)
+            results[strat] = cat
+        finally:
+            del os.environ["ROUTER_WRITE_STRATEGY"]
+    for sink in ("by_tool", "by_day", "rejects", "by_tool_counts"):
+        a = results["salt"].read(sink)
+        b = align_schema(results["coalesce"].read(sink), a)
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty(), sink
