@@ -328,10 +328,14 @@ def _typed_from_raw(
         if name == "range_header" and empty_range_is_null:
             c = F.when(c == "", F.lit(None)).otherwise(c)
         if name in _INT_FIELDS:
-            c = c.cast(typ)
+            # try_cast: NULL on non-numeric ('-') in BOTH ANSI modes —
+            # a plain cast throws CAST_INVALID_INPUT under ANSI
+            c = c.try_cast(typ)
         fields.append(c.alias(name))
 
-    ts = F.to_timestamp(r["ts_str"], TS_FORMAT)
+    # try_to_timestamp: NULL on malformed input in BOTH ANSI modes (the
+    # bad_time rows would throw CANNOT_PARSE_TIMESTAMP under ANSI)
+    ts = F.try_to_timestamp(r["ts_str"], F.lit(TS_FORMAT))
     out = (
         df.withColumn("parsed", F.struct(*fields))
         .withColumn("event_ts", ts)
@@ -362,9 +366,10 @@ def parse_range(col: Column | str) -> tuple[Column, Column]:
     intent and accept both spellings.
     """
     c = F.col(col) if isinstance(col, str) else col
-    start = F.regexp_extract(c, r"bytes=?(\d+)-(\d+)", 1).cast("long")
-    end = F.regexp_extract(c, r"bytes=?(\d+)-(\d+)", 2).cast("long")
-    # regexp_extract returns '' → cast gives NULL; keep NULL for non-206 rows
+    # regexp_extract returns '' on no-match → try_cast gives NULL in
+    # BOTH ANSI modes (plain cast throws CAST_INVALID_INPUT under ANSI)
+    start = F.regexp_extract(c, r"bytes=?(\d+)-(\d+)", 1).try_cast("long")
+    end = F.regexp_extract(c, r"bytes=?(\d+)-(\d+)", 2).try_cast("long")
     return start, end
 
 

@@ -185,10 +185,15 @@ def minhash_signatures_df(
     recomputed DJB2-per-char lambdas made it ~8× slower. The exploded
     form is also the right shape at 100 TB: one shuffle keyed on the
     (high-cardinality) doc id, map-side partial min."""
+    # pre-reduce h into [0, P): a no-op for the djb2 family (h < 2^32
+    # < P, so values — and the DuckDB oracle — are unchanged), and for
+    # xxhash64's full-range int64 it keeps a*h inside long range (a
+    # plain a*h overflows and THROWS under ANSI mode; the non-ANSI
+    # wrapped product was silently relying on overflow)
     hs = df.select(
         F.col(id_col).alias("id"),
-        F.explode(shingle_hashes(text_col, n, mode)).alias("h"),
-    )
+        F.explode(shingle_hashes(text_col, n, mode)).alias("_h0"),
+    ).select("id", F.pmod(F.col("_h0"), F.lit(MINHASH_P)).alias("h"))
     aggs = []
     for i in range(k):
         a, b = 2 * i + 1, i * i + 7

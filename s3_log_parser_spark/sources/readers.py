@@ -34,7 +34,8 @@ def read_raw_logs(
         else F.lit("conv-0")
     )
     df = df.withColumn("conv_id", conv).withColumn(
-        "ts", F.to_timestamp(ts_str, "dd/MMM/yyyy:HH:mm:ss Z")
+        # try_: NULL on malformed lines in both ANSI modes
+        "ts", F.try_to_timestamp(ts_str, F.lit("dd/MMM/yyyy:HH:mm:ss Z"))
     )
     w = Window.partitionBy("conv_id").orderBy(F.col("ts").asc_nulls_last(), "text")
     return df.select(
