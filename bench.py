@@ -194,13 +194,15 @@ def main() -> None:
 
     scaling = {}
     if os.environ.get("BENCH_SCALING", "1") != "0":
-        # 6M turns per leg: long enough that the per-run constant
-        # (driver planning + parquet commit, ~10 jobs) amortizes below
-        # ~5% of the 4N leg — at 2.5M it ate ~14% of the fast leg and
-        # dominated the measured efficiency (r1 recorded 0.791; the
-        # pipeline itself scales ≥0.88 once the constant is amortized).
+        # Leg length re-derived each round: the per-run constant (driver
+        # planning + parquet commit, ~10 jobs) must amortize below ~4%
+        # of the FAST leg. r2's 6M-turn legs were sized for a ~19 s/M
+        # 4N leg; the r3 parse rewrite made legs ~33% faster, so 6M
+        # turns read as efficiency 0.82 from constant-bias alone.
+        # Default now: same input as the main leg (page-cache warm, no
+        # extra generation) — 10M at sf0.1 puts the 4N leg near 95 s.
         s_turns = int(
-            os.environ.get("BENCH_SCALING_TURNS", str(max(6_000_000, int(turns * 0.25))))
+            os.environ.get("BENCH_SCALING_TURNS", str(max(10_000_000, int(turns * 0.25))))
         )
         # N=1 vs 4N=4 executors (2 pinned cores each): inside the
         # host's measured linear-capacity range (the 32-vCPU VM

@@ -245,10 +245,24 @@ def minhash_candidates(
     return pairs
 
 
-def jaccard_x1000(col_a: Column, col_b: Column) -> Column:
-    """exact Jaccard over two shingle-hash arrays, ×1000 floored."""
+def jaccard_x1000(
+    col_a: Column,
+    col_b: Column,
+    size_a: Column | None = None,
+    size_b: Column | None = None,
+) -> Column:
+    """exact Jaccard over two shingle-hash arrays, ×1000 floored.
+
+    When the per-row DISTINCT sizes are precomputed (``size_a/size_b``),
+    ``|A∪B| = |A|+|B|−|A∩B|`` replaces the second per-pair array pass —
+    integer-identical result, ~2× less per-pair work inside the O(N²)
+    block joins (shingle arrays are already distinct by construction).
+    """
     inter = F.size(F.array_intersect(col_a, col_b))
-    union = F.size(F.array_union(col_a, col_b))
+    if size_a is not None and size_b is not None:
+        union = size_a + size_b - inter
+    else:
+        union = F.size(F.array_union(col_a, col_b))
     return F.when(union == 0, F.lit(0)).otherwise(
         F.floor(inter * 1000 / union)
     ).cast("long")
@@ -282,19 +296,22 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         *( [F.col(group_col).alias("grp")] if group_col else [] ),
         shingle_hashes(text_col, n).alias("sh"),
-    )
+    ).withColumn("sz", F.size(F.col("sh")))
     if group_col is None and auto_block:
         cand = minhash_candidates(df, id_col, text_col, n=n)
         return (
             cand.join(hdf.select(F.col("id").alias("id_a"),
-                                 F.col("sh").alias("_sh_a")), "id_a")
+                                 F.col("sh").alias("_sh_a"),
+                                 F.col("sz").alias("_sz_a")), "id_a")
             .join(hdf.select(F.col("id").alias("id_b"),
-                             F.col("sh").alias("_sh_b")), "id_b")
+                             F.col("sh").alias("_sh_b"),
+                             F.col("sz").alias("_sz_b")), "id_b")
             .select(
                 "id_a", "id_b",
-                jaccard_x1000(F.col("_sh_a"), F.col("_sh_b")).alias(
-                    "jaccard_x1000"
-                ),
+                jaccard_x1000(
+                    F.col("_sh_a"), F.col("_sh_b"),
+                    F.col("_sz_a"), F.col("_sz_b"),
+                ).alias("jaccard_x1000"),
             )
             .filter(F.col("jaccard_x1000") >= threshold_x1000)
         )
@@ -315,7 +332,9 @@ def ngram_jaccard_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            jaccard_x1000(F.col("a.sh"), F.col("b.sh")).alias("jaccard_x1000"),
+            jaccard_x1000(
+                F.col("a.sh"), F.col("b.sh"), F.col("a.sz"), F.col("b.sz")
+            ).alias("jaccard_x1000"),
         )
         .filter(F.col("jaccard_x1000") >= threshold_x1000)
     )
