@@ -1,11 +1,12 @@
 """The end-to-end DAG: parse → encode → enrich → flags → route → aggregate.
 
 Distributed trace (SURVEY.md §3.1): scan transcripts (column-pruned to
-conv_id, turn_idx, role, tool, text, ts) → one pandas-UDF pass (grok
-bank + DJB2, Arrow batches) → Catalyst-codegen'd casts/encodings →
-broadcast-join role/tool dims → ONE shuffle (the (ip_hash, key_hash)
-window for ST1) → slim table write (the checkpoint) → N filtered sink
-writes + per-sink counts from the columnar re-read.
+conv_id, turn_idx, role, tool, text, ts) → one Arrow pass (DFA parse
+bank + DJB2, text dropped at the worker) → Catalyst-codegen'd
+casts/encodings + UA classify → ONE shuffle (the (ip_hash, key_hash)
+window for ST1, narrowest possible rows) → broadcast-join role/tool
+dims post-shuffle → slim table write (the checkpoint) → N filtered
+sink writes + per-sink counts from the columnar re-read.
 
 Scale posture: the only wide exchange before the sinks is the ST1
 window on high-cardinality hash keys (no skew by construction); the
@@ -80,8 +81,13 @@ def build_slim(
         df = classify_when(
             df.withColumn("user_agent", F.col("parsed")["user_agent"])
         ).drop("user_agent")
-    df = enrich_role_tool(df)
+    # window BEFORE the broadcast enrich: with_flags' ST1 exchange is
+    # the DAG's one wide shuffle, so it should carry the narrowest rows
+    # possible — the role/tool dim columns (3 ints/row) are attached by
+    # broadcast joins on the post-shuffle side instead (broadcast hash
+    # joins are position-independent; column values are unchanged)
     df = with_flags(df)
+    df = enrich_role_tool(df)
     return df.select(*SLIM_COLUMNS)
 
 
