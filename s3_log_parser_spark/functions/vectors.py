@@ -70,6 +70,34 @@ def dot_udf(a: pd.Series, b: pd.Series) -> pd.Series:  # pragma: no cover
     return pd.Series(np.einsum("ij,ij->i", av, bv))
 
 
+@pandas_udf(T.LongType())
+def _cos_x1m_pairs_udf(
+    a: pd.Series, b: pd.Series, na: pd.Series, nb: pd.Series
+) -> pd.Series:
+    """floor(dot(a,b)/(na·nb)·1e6) for PAIR rows, numpy-vectorized
+    ACROSS pairs with the summation loop over the dimension axis —
+    every FP op happens in the same index order as the fold-left HOF
+    form, so results are bit-identical to ``dot_pre``/``cosine_x1m``
+    (pairwise/BLAS summation would differ in the last ulp and break the
+    cross-engine oracle). ~8× less per-pair overhead than the
+    interpreted HOF lambda inside O(N²) joins."""
+    if len(a) == 0:
+        return pd.Series([], dtype="int64")
+    av = np.array(a.tolist(), dtype=np.float64)
+    bv = np.array(b.tolist(), dtype=np.float64)
+    acc = np.zeros(len(a), dtype=np.float64)
+    for j in range(av.shape[1]):  # fold-left over the dim axis
+        acc = acc + av[:, j] * bv[:, j]
+    out = np.floor(acc / (na.to_numpy() * nb.to_numpy()) * 1_000_000)
+    return pd.Series(out).astype("int64")
+
+
+def cos_x1m_pairs(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """vectorized pairwise integer cosine (see ``_cos_x1m_pairs_udf``);
+    operands must be array<double> with precomputed norms."""
+    return _cos_x1m_pairs_udf(a, b, na, nb)
+
+
 def hyperplane_bits(vec: Column, n_planes: int, dim: int) -> Column:
     """deterministic random-hyperplane LSH signature → integer bucket.
 

@@ -465,13 +465,18 @@ def embedding_near_dups(
         as_double(F.col(vec_col)).alias("v"),
     ).withColumn("nrm", norm_pre(F.col("v")))
     a, b = v.alias("a"), v.alias("b")
-    cos = dot_pre(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    from ..functions.vectors import cos_x1m_pairs
+
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.floor(cos * 1_000_000).cast("long").alias("cosine_x1m"),
+            # numpy-vectorized, fold-left-order (bit-identical to the
+            # HOF form and the DuckDB oracle; see vectors.py)
+            cos_x1m_pairs(
+                F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
+            ).alias("cosine_x1m"),
         )
         .filter(F.col("cosine_x1m") >= threshold_x1m)
     )
@@ -517,13 +522,16 @@ def embedding_near_dups_bucketed(
     a = v.withColumn("probe", F.explode(F.array(*probes))).drop("lsh_bucket")
     b = v.withColumnRenamed("lsh_bucket", "probe")
     a, b = a.alias("a"), b.alias("b")
-    cos = dot_pre(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    from ..functions.vectors import cos_x1m_pairs
+
     return (
         a.join(b, (F.col("a.probe") == F.col("b.probe")) & (F.col("a.id") < F.col("b.id")))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.floor(cos * 1_000_000).cast("long").alias("cosine_x1m"),
+            cos_x1m_pairs(
+                F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
+            ).alias("cosine_x1m"),
         )
         .filter(F.col("cosine_x1m") >= threshold_x1m)
     )
