@@ -41,10 +41,12 @@ def _with_norm(df, vec, out="nrm"):
 
 def _cos_x1m(a_vec, b_vec, a_nrm, b_nrm):
     # identical FP ops to cosine_x1m, but per-row norms and double
-    # casts are precomputed once instead of re-expanded into every pair
-    return F.floor(
-        dot_pre(a_vec, b_vec) / (a_nrm * b_nrm) * 1_000_000
-    ).cast("long")
+    # casts are precomputed once, and the per-pair fold runs in the
+    # numpy-vectorized (fold-left-order, bit-identical) pandas UDF —
+    # see vectors.cos_x1m_pairs
+    from ..functions.vectors import cos_x1m_pairs
+
+    return cos_x1m_pairs(a_vec, b_vec, a_nrm, b_nrm)
 
 
 def cosine_topk(
