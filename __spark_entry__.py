@@ -1367,6 +1367,68 @@ def _psink(spark, sf):
     ).agg(F.count("*").alias("count"), F.count_distinct("tool").alias("n_tools"))
 
 
+# S3/S5 sink fidelity: the slim DAG's output written through the text
+# sinks (CSV, flat JSON), read back typed, and fingerprinted — value
+# corruption in serialization (timestamps, NULLs, quoting, int widths)
+# changes the sums; the DuckDB side reads the committed golden parquet
+_SINK_FPRINT = """
+    SELECT parse_status, CAST(flags AS BIGINT) AS flags,
+           CAST(COUNT(*) AS BIGINT) AS count,
+           CAST(SUM(ip_hash) AS BIGINT) AS sum_ip_hash,
+           CAST(SUM(key_hash) AS BIGINT) AS sum_key_hash,
+           CAST(SUM(COALESCE(bytes_sent_kb, 0)) AS BIGINT) AS sum_kb,
+           CAST(SUM(CAST(turn_idx AS BIGINT)) AS BIGINT) AS sum_turn_idx
+    FROM read_parquet('{golden}') GROUP BY 1, 2
+"""
+
+
+def _sink_fingerprint(df):
+    return df.groupBy(
+        "parse_status", F.col("flags").cast("long").alias("flags")
+    ).agg(
+        F.count("*").alias("count"),
+        F.sum("ip_hash").alias("sum_ip_hash"),
+        F.sum("key_hash").alias("sum_key_hash"),
+        F.sum(F.coalesce(F.col("bytes_sent_kb"), F.lit(0))).cast("long").alias("sum_kb"),
+        F.sum(F.col("turn_idx").cast("long")).alias("sum_turn_idx"),
+    )
+
+
+def _sink_roundtrip(spark, fmt: str):
+    import shutil
+    import tempfile
+
+    from s3_log_parser_spark.plans.pipeline import build_slim
+    from s3_log_parser_spark.sources.gen import gen_transcripts
+
+    slim = build_slim(gen_transcripts(spark, rows=10_000))
+    root = tempfile.mkdtemp(prefix=f"{fmt}_sink_")
+    path = os.path.join(root, fmt)
+    if fmt == "csv":
+        slim.write.mode("overwrite").option("header", True).csv(path)
+        back = spark.read.schema(slim.schema).option("header", True).csv(path)
+    else:
+        slim.write.mode("overwrite").json(path)
+        back = spark.read.schema(slim.schema).json(path)
+    res = _sink_fingerprint(back).localCheckpoint()
+    shutil.rmtree(root, ignore_errors=True)
+    return res
+
+
+@q("csv_sink_roundtrip", _SINK_FPRINT.format(golden=_GOLDEN_SLIM))
+def _csv_sink(spark, sf):
+    """S3: slim → CSV sink → typed read-back; fingerprint must equal
+    the committed golden parquet of the same seed-42 fixture."""
+    return _sink_roundtrip(spark, "csv")
+
+
+@q("json_sink_roundtrip", _SINK_FPRINT.format(golden=_GOLDEN_SLIM))
+def _json_sink(spark, sf):
+    """S5: slim → flat-JSON sink → typed read-back; fingerprint vs the
+    committed golden parquet (s3extract.c:223-249 analog)."""
+    return _sink_roundtrip(spark, "json")
+
+
 @q(
     "streaming_router_parity",
     f"""

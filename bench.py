@@ -42,9 +42,13 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # every driver query is timed (VERDICT r2 #3: 11-of-46 sampling left 35
 # queries with no regression signal); BENCH_QUERY_FILTER=csv narrows for
 # local iteration.
-# e2e-harness queries (streaming run + full checkpointed pipeline): not
+# e2e-harness queries (streaming run, sink write-read round-trips): not
 # operator timings, excluded from the per-query block
-NON_OPERATOR_QUERIES = {"streaming_router_parity"}
+NON_OPERATOR_QUERIES = {
+    "streaming_router_parity",
+    "csv_sink_roundtrip",
+    "json_sink_roundtrip",
+}
 
 
 def bench_query_names(all_names):
