@@ -107,3 +107,44 @@ def test_ivf_recall_reasonable(spark, emb):
     # nprobe=2 of 8 cells ≈ ¼ of the corpus scanned per query; random
     # baseline would be ~1/500
     assert hits / len(exact) >= 0.3
+
+
+def test_vectorized_cosine_bit_identical_to_hof(spark):
+    """cos_x1m_pairs claims bit-identical FP to the fold-left HOF form
+    (the cross-engine oracle depends on it) — pin it on adversarial
+    vectors: mixed magnitudes, negatives, denormal-ish values."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from s3_log_parser_spark.functions.vectors import (
+        as_double,
+        cos_x1m_pairs,
+        dot_pre,
+        norm_pre,
+    )
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(200):
+        scale = 10.0 ** rnd.randint(-6, 6)
+        rows.append(
+            (i, [rnd.uniform(-1, 1) * scale for _ in range(64)]),
+        )
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    v = df.select("id", as_double(F.col("v")).alias("v")).withColumn(
+        "nrm", norm_pre(F.col("v"))
+    )
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
+        F.floor(
+            dot_pre(F.col("a.v"), F.col("b.v"))
+            / (F.col("a.nrm") * F.col("b.nrm"))
+            * 1_000_000
+        ).cast("long").alias("hof"),
+        cos_x1m_pairs(
+            F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
+        ).alias("vec"),
+    )
+    diff = pairs.filter(F.col("hof") != F.col("vec")).count()
+    assert diff == 0, f"{diff} of 19900 pairs differ between HOF and numpy"
