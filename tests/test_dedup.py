@@ -242,3 +242,14 @@ def test_ngram_jaccard_unblocked_guard(spark):
     }
     assert approx <= exact
     assert approx, "LSH banding should catch the near-identical docs"
+
+
+def test_ngram_jaccard_index_equals_pairs(spark, docs):
+    """the inverted-index set-similarity join must equal the literal
+    pairwise form exactly (same pairs, same integer jaccard)."""
+    from s3_log_parser_spark.operators.dedup import ngram_jaccard_pairs
+
+    kw = dict(threshold_x1000=100, unblocked_limit=10_000)
+    p = {tuple(r) for r in ngram_jaccard_pairs(docs, method="pairs", **kw).collect()}
+    i = {tuple(r) for r in ngram_jaccard_pairs(docs, method="index", **kw).collect()}
+    assert p == i and p, "index join diverged from pairwise form"
