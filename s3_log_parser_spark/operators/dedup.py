@@ -503,12 +503,29 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold_x1m: int = 800_000,
+    method: str = "auto",
+    block_limit: int = 200_000,
 ) -> DataFrame:
     """brute-force cosine near-dup pairs (id_a < id_b, cos ≥ thr).
 
     Baseline path: O(N²/2) — fine for verification blocks; at scale
     pre-bucket with hyperplane LSH (similarity.ann_lsh_bucketed) and
-    run this within buckets only."""
+    run this within buckets only.
+
+    ``method``: ``"block"`` broadcasts the corpus matrix to every task
+    and scores each partition's rows against it inside ONE mapInPandas
+    stage — the N² pair rows never materialize in the plan and never
+    cross the Arrow socket (only the qualifying pairs come back). The
+    per-pair FP fold is the same index-order loop as everywhere else
+    (bit-identical, equality-pinned in tests). Classic "one side fits
+    in memory" brute-force shape; guarded by ``block_limit`` rows.
+    ``"pairs"`` is the literal self-join; ``"auto"`` picks block when
+    the corpus row count is within the broadcast guard."""
+    if method == "auto":
+        n = df.select(F.lit(1)).limit(block_limit + 1).count()
+        method = "block" if n <= block_limit else "pairs"
+    if method == "block":
+        return _near_dups_block(df, id_col, vec_col, threshold_x1m)
     from ..functions.vectors import as_double, dot_pre, norm_pre
 
     # norms AND double casts once per ROW, not per pair — Catalyst
@@ -535,6 +552,68 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine_x1m") >= threshold_x1m)
     )
+
+
+def _near_dups_block(
+    df: DataFrame, id_col: str, vec_col: str, threshold_x1m: int
+) -> DataFrame:
+    """broadcast-corpus brute force (see embedding_near_dups)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .collect()
+    )
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    # per-row norms, same fold order as norm_pre (fold-left over dims)
+    nrm = np.zeros(len(ids), dtype=np.float64)
+    for d in range(mat.shape[1]):
+        nrm = nrm + mat[:, d] * mat[:, d]
+    nrm = np.sqrt(nrm)
+    sc = df.sparkSession.sparkContext
+    b = sc.broadcast((ids, mat, nrm))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType(), False),
+            T.StructField("id_b", T.LongType(), False),
+            T.StructField("cosine_x1m", T.LongType(), False),
+        ]
+    )
+
+    def score(batches):
+        bids, bmat, bnrm = b.value
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for rid, vec in zip(pdf["id"], pdf["v"]):
+                # each unordered pair exactly once: this row is id_a,
+                # broadcast rows with larger id are the id_b side
+                mask = bids > rid
+                if not mask.any():
+                    continue
+                sub, subn, subi = bmat[mask], bnrm[mask], bids[mask]
+                a = np.asarray(vec, dtype=np.float64)
+                an = 0.0
+                acc = np.zeros(len(subi), dtype=np.float64)
+                for d in range(len(a)):  # fold-left over dims
+                    an = an + a[d] * a[d]
+                    acc = acc + a[d] * sub[:, d]
+                an = np.sqrt(an)
+                cos = np.floor(acc / (an * subn) * 1_000_000).astype(np.int64)
+                hit = cos >= threshold_x1m
+                if hit.any():
+                    out_a.extend([rid] * int(hit.sum()))
+                    out_b.extend(subi[hit].tolist())
+                    out_c.extend(cos[hit].tolist())
+            yield pd.DataFrame(
+                {"id_a": out_a, "id_b": out_b, "cosine_x1m": out_c}
+            ).astype("int64")
+
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return src.mapInPandas(score, out_schema)
 
 
 def embedding_near_dups_bucketed(

@@ -253,3 +253,24 @@ def test_ngram_jaccard_index_equals_pairs(spark, docs):
     p = {tuple(r) for r in ngram_jaccard_pairs(docs, method="pairs", **kw).collect()}
     i = {tuple(r) for r in ngram_jaccard_pairs(docs, method="index", **kw).collect()}
     assert p == i and p, "index join diverged from pairwise form"
+
+
+def test_embedding_block_equals_pairs(spark):
+    """broadcast-corpus block scoring must be bit-identical to the
+    pairwise join (same fold-left FP order)."""
+    from s3_log_parser_spark.operators.dedup import embedding_near_dups
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    p = {
+        tuple(r)
+        for r in embedding_near_dups(
+            emb, threshold_x1m=200_000, method="pairs"
+        ).collect()
+    }
+    b = {
+        tuple(r)
+        for r in embedding_near_dups(
+            emb, threshold_x1m=200_000, method="block"
+        ).collect()
+    }
+    assert p == b and p
