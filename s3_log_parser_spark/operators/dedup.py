@@ -564,8 +564,13 @@ def _near_dups_block(
 
     rows = (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .filter(F.col("v").isNotNull())
         .collect()
     )
+    if not rows:
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine_x1m long"
+        )
     ids = np.array([r["id"] for r in rows], dtype=np.int64)
     mat = np.array([r["v"] for r in rows], dtype=np.float64)
     # per-row norms, same fold order as norm_pre (fold-left over dims)
