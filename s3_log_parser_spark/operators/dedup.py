@@ -278,6 +278,7 @@ def ngram_jaccard_pairs(
     auto_block: bool = False,
     unblocked_limit: int = 10_000,
     method: str = "index",
+    max_df: int | None = None,
 ) -> DataFrame:
     """exact n-gram Jaccard similarity for candidate pairs.
 
@@ -332,7 +333,9 @@ def ngram_jaccard_pairs(
                 "auto_block=True, or raise unblocked_limit explicitly"
             )
     if method == "index" and threshold_x1000 >= 1:
-        return _jaccard_index_join(hdf, bool(group_col), threshold_x1000)
+        return _jaccard_index_join(
+            hdf, bool(group_col), threshold_x1000, max_df=max_df
+        )
     a, b = hdf.alias("a"), hdf.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     if group_col:
@@ -351,7 +354,10 @@ def ngram_jaccard_pairs(
 
 
 def _jaccard_index_join(
-    hdf: DataFrame, grouped: bool, threshold_x1000: int
+    hdf: DataFrame,
+    grouped: bool,
+    threshold_x1000: int,
+    max_df: int | None = None,
 ) -> DataFrame:
     """exact Jaccard via the inverted-index (set-similarity) join — the
     canonical distributed shape: explode (id, shingle) postings,
@@ -369,6 +375,22 @@ def _jaccard_index_join(
     post = hdf.select(
         "id", *( ["grp"] if grouped else [] ), F.explode("sh").alias("h")
     )
+    if max_df is not None:
+        # stop-shingle guard: drop postings whose document frequency
+        # exceeds max_df before the self-join — bounds the skew term
+        # Σ df(h)² against pathological boilerplate. APPROXIMATE:
+        # dropped shingles no longer count toward |A∩B| (but still
+        # toward |A|/|B|), so reported jaccard is a LOWER bound; an
+        # exact run needs max_df=None. The window keeps postings
+        # intact for df ≤ max_df, so rare-shingle pairs are unaffected.
+        from pyspark.sql import Window
+
+        dfw = Window.partitionBy(*(["grp", "h"] if grouped else ["h"]))
+        post = (
+            post.withColumn("_df", F.count("*").over(dfw))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
     a, b = post.alias("a"), post.alias("b")
     cond = (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id"))
     if grouped:

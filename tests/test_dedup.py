@@ -274,3 +274,33 @@ def test_embedding_block_equals_pairs(spark):
         ).collect()
     }
     assert p == b and p
+
+
+def test_ngram_jaccard_stop_shingle_cap(spark, docs):
+    """max_df drops only high-frequency shingles: results are a subset
+    with lower-bound scores, and rare-shingle pairs are unaffected."""
+    from s3_log_parser_spark.operators.dedup import ngram_jaccard_pairs
+
+    exact = {
+        (r.id_a, r.id_b): r.jaccard_x1000
+        for r in ngram_jaccard_pairs(
+            docs, threshold_x1000=100, unblocked_limit=10_000
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard_x1000
+        for r in ngram_jaccard_pairs(
+            docs, threshold_x1000=100, unblocked_limit=10_000, max_df=3
+        ).collect()
+    }
+    assert set(capped) <= set(exact)
+    for pair, j in capped.items():
+        assert j <= exact[pair], "capped jaccard must be a lower bound"
+    # a huge cap changes nothing
+    uncapped = {
+        (r.id_a, r.id_b): r.jaccard_x1000
+        for r in ngram_jaccard_pairs(
+            docs, threshold_x1000=100, unblocked_limit=10_000, max_df=10**6
+        ).collect()
+    }
+    assert uncapped == exact
