@@ -285,6 +285,16 @@ def main() -> None:
         qtimes["dedup_minhash_lsh_pairs_xxhash64"] = round(
             time.perf_counter() - t0, 3
         )
+        # 64-bit simhash with 16-bit bands (lossless for hamming ≤ 3):
+        # the production selectivity knob — 65,536 values per band vs
+        # the oracle-tractable 16-bit/4-bit form's 16, so candidate
+        # volume collapses. Not a queries() entry (the DuckDB oracle
+        # pins the 16-bit form); timed directly like the xxhash64 mode.
+        from s3_log_parser_spark.operators.dedup import simhash_pairs
+
+        t0 = time.perf_counter()
+        simhash_pairs(docs, bits=64, band_bits=16).count()
+        qtimes["dedup_simhash_pairs_64bit"] = round(time.perf_counter() - t0, 3)
 
     result = {
         "metric": "pipeline_wall_sec_parse_enrich_route_aggregate",

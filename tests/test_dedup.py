@@ -304,3 +304,37 @@ def test_ngram_jaccard_stop_shingle_cap(spark, docs):
         ).collect()
     }
     assert uncapped == exact
+
+
+def test_simhash_64bit_banding_lossless(spark):
+    """pigeonhole losslessness holds at 64 bits / 16-bit bands too:
+    banded candidates == brute-force all-pairs for hamming <= 3."""
+    from pyspark.sql import functions as F
+
+    from s3_log_parser_spark.operators.dedup import (
+        hamming64,
+        simhash_df,
+        simhash_pairs,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(120)
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs(docs, bits=64, band_bits=16).collect()
+    }
+    s = simhash_df(docs, "doc_id", "text", bits=64)
+    a, b = s.alias("a"), s.alias("b")
+    brute = {
+        tuple(r)
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute
