@@ -274,9 +274,10 @@ def main() -> None:
             scaling = {
                 "method": (
                     "same job, same input, taskset-pinned cores; best of "
-                    f"{rep_lo} N-leg / {rep_hi} 4N-leg runs (one-sided host "
-                    "noise: extra samples of the short, spike-vulnerable "
-                    "leg; no real cluster in sandbox)"
+                    f"{rep_lo} N-leg / {rep_hi}+ 4N-leg runs with adaptive "
+                    "fast-leg top-up (one-sided host noise: best-of-k "
+                    "approaches noise-free from below; no real cluster "
+                    "in sandbox)"
                 ),
                 "turns": s_turns,
                 f"N={lo_c}_turns_per_sec": round(legs[lo_c]["turns_per_sec"], 1),
