@@ -158,7 +158,9 @@ def run_pinned_leg(
         cmd = ["taskset", "-c", f"0-{2 * executors - 1}"] + cmd
     # generous: timed run + warmup + first-leg data generation, all on
     # few pinned cores; the slowest healthy leg measured ≈ 400 s total
-    deadline = int(os.environ.get("BENCH_LEG_TIMEOUT", "800"))
+    # 15M-turn N=1 legs run ~530 s timed + ~90 s gen/warmup/startup —
+    # the watchdog must only ever catch true hangs, never healthy legs
+    deadline = int(os.environ.get("BENCH_LEG_TIMEOUT", "1200"))
     for attempt in range(attempts):
         try:
             p = subprocess.run(
@@ -199,14 +201,14 @@ def main() -> None:
     scaling = {}
     if os.environ.get("BENCH_SCALING", "1") != "0":
         # Leg length re-derived each round: the per-run constant (driver
-        # planning + parquet commit, ~10 jobs) must amortize below ~4%
+        # planning + parquet commit, ~10 jobs) must amortize below ~3%
         # of the FAST leg. r2's 6M-turn legs were sized for a ~19 s/M
         # 4N leg; the r3 parse rewrite made legs ~33% faster, so 6M
         # turns read as efficiency 0.82 from constant-bias alone.
-        # Default now: same input as the main leg (page-cache warm, no
-        # extra generation) — 10M at sf0.1 puts the 4N leg near 95 s.
+        # 15M turns put the 4N leg near 140 s (constant ~3%) and let
+        # the long N leg self-average transient neighbor spikes.
         s_turns = int(
-            os.environ.get("BENCH_SCALING_TURNS", str(max(10_000_000, int(turns * 0.25))))
+            os.environ.get("BENCH_SCALING_TURNS", str(max(15_000_000, int(turns * 0.25))))
         )
         # N=1 vs 4N=4 executors (2 pinned cores each): inside the
         # host's measured linear-capacity range (the 32-vCPU VM
