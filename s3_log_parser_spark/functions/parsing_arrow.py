@@ -140,14 +140,14 @@ def parse_text_arrow(
             # slower engines would match — ok ≡ "owner capture non-null"
             # of the old extract_regex form, pinned by the 3-way parser
             # equality tests)
-            okf = pc.fill_null(
+            okdfa = pc.fill_null(
                 pc.match_substring_regex(text, VALIDITY_PATTERN), False
             )
             # invalid rows get a canonical dummy so every positional
             # split below sees a uniform shape; all their fields are
             # masked back to NULL at the end
             safe = pc.if_else(
-                okf, pc.fill_null(text, ""), pa.scalar(_DUMMY_LINE)
+                okdfa, pc.fill_null(text, ""), pa.scalar(_DUMMY_LINE)
             )
 
             # positional extraction via plain-char splits (pure C++
@@ -157,42 +157,92 @@ def parse_text_arrow(
             # live in 0/2/5, present in every valid line. Unquoted S3
             # fields cannot contain '"' (URL-encoded in real logs).
             qs = pc.split_pattern(safe, '"')
-            head_toks = pc.split_pattern(pc.list_element(qs, 0), " ")
-            mid_toks = pc.split_pattern(pc.list_element(qs, 2), " ")
-            le = pc.list_element
+
+            def le_s(lst, i):
+                # NULL-safe list_element: out-of-range → NULL instead of
+                # raising (shape-degenerate rows have short lists)
+                return pc.list_element(
+                    pc.list_slice(lst, i, i + 1, return_fixed_size_list=True), 0
+                )
+
+            head = le_s(qs, 0)
+            mid_toks = pc.split_pattern(le_s(qs, 2), " ")
+
+            # head = "owner bucket [ts…] ip requester req_id op key ".
+            # The bracketed timestamp may contain ANY number of spaces
+            # (grammar: \[[^\]]*\]), so LEFT-positional token indices
+            # silently shift on 1-/3-token brackets — the 5 fields after
+            # the bracket are \S+ though, so splitting the last 6 spaces
+            # from the RIGHT pins ip/key regardless of bracket content:
+            # [prefix, ip, requester, req_id, operation, key, ''].
+            tail6 = pc.split_pattern(head, " ", max_splits=6, reverse=True)
+            prefix3 = pc.split_pattern(le_s(tail6, 0), " ", max_splits=2)
+            ts_tok = le_s(prefix3, 2)  # "[…]" incl. internal spaces
+
+            # alignment gate: rows that matched the validity DFA but
+            # whose head does not decompose as 2 tokens + bracket +
+            # 5 tokens (only possible when the bracket content itself
+            # contains a '"', which truncates the quote split) get
+            # their fields masked to NULL + bad_time instead of being
+            # silently extracted from the wrong tokens (ADVICE r3 #1).
+            shape_ok = pc.and_(
+                pc.and_(
+                    pc.equal(pc.list_value_length(tail6), 7),
+                    pc.equal(pc.list_value_length(prefix3), 3),
+                ),
+                pc.and_(
+                    pc.fill_null(pc.starts_with(ts_tok, "["), False),
+                    pc.fill_null(pc.ends_with(ts_tok, "]"), False),
+                ),
+            )
+            okf = pc.and_(okdfa, shape_ok)
 
             def masked(arr, default=None):
                 return pc.if_else(okf, arr, pa.scalar(default, arr.type))
 
-            ua = masked(le(qs, 5))
-            ip = masked(le(head_toks, 4))
-            key = masked(le(head_toks, 8))
+            ua = masked(le_s(qs, 5))
+            ip = masked(le_s(tail6, 1))
+            key = masked(le_s(tail6, 5))
 
-            # timestamp: head tokens 2/3 are "[dd/Mon/yyyy:HH:mm:ss"
-            # and "+zzzz]" → UTC
-            base = pc.strptime(
-                pc.utf8_slice_codeunits(le(head_toks, 2), 1, 21),
-                format="%d/%b/%Y:%H:%M:%S",
-                unit="us",
-                error_is_null=True,
+            # timestamp: the bracket must hold exactly "date offset"
+            # (the %d/%b/%Y:%H:%M:%S %z shape); any other token count
+            # → bad_time, matching the pandas/SQL parsers' strict
+            # format parse instead of extracting from shifted tokens
+            ts_parts = pc.split_pattern(ts_tok, " ")
+            base = pc.if_else(
+                pc.equal(pc.fill_null(pc.list_value_length(ts_parts), 0), 2),
+                pc.strptime(
+                    # full-consume parse: trailing junk after the
+                    # seconds field must fail (slicing to a fixed 21
+                    # chars would silently accept "…:12:123")
+                    pc.utf8_slice_codeunits(le_s(ts_parts, 0), 1, 1 << 30),
+                    format="%d/%b/%Y:%H:%M:%S",
+                    unit="us",
+                    error_is_null=True,
+                ),
+                pa.scalar(None, pa.timestamp("us")),
             )
-            # offset handling via the (tiny) distinct-offset dictionary
-            off = pc.utf8_slice_codeunits(le(head_toks, 3), 0, 5)
-            od = pc.dictionary_encode(off)
+            # offset handling via the (tiny) distinct-offset dictionary;
+            # strict "±HHMM]" shape — a malformed offset is bad_time
+            # (NULL), not a silent +0000
+            od = pc.dictionary_encode(le_s(ts_parts, 1))
 
             def off_secs(v):
-                if v is None or len(v) != 5 or v[0] not in "+-":
-                    return 0
-                try:
-                    s = int(v[1:3]) * 3600 + int(v[3:5]) * 60
-                except ValueError:
-                    return 0
+                if (
+                    v is None
+                    or len(v) != 6
+                    or v[0] not in "+-"
+                    or v[5] != "]"
+                    or not v[1:5].isdigit()
+                ):
+                    return None
+                s = int(v[1:3]) * 3600 + int(v[3:5]) * 60
                 return -s if v[0] == "-" else s
 
             olut = pa.array(
                 [off_secs(v) for v in od.dictionary.to_pylist()], pa.int64()
             )
-            osec = pc.fill_null(pc.take(olut, od.indices), 0)
+            osec = pc.take(olut, od.indices)
             event_ts = masked(
                 pc.subtract(
                     base,
@@ -200,8 +250,11 @@ def parse_text_arrow(
                 )
             )
 
+            # shape-degenerate rows still matched the grammar (okdfa),
+            # so they classify as bad_time (unparseable timestamp — the
+            # pandas/SQL parsers' verdict), never bad_format
             status = pc.if_else(
-                pc.invert(okf),
+                pc.invert(okdfa),
                 pa.scalar("bad_format"),
                 pc.if_else(
                     pc.is_null(event_ts), pa.scalar("bad_time"), pa.scalar("ok")
@@ -232,12 +285,12 @@ def parse_text_arrow(
                 "key_hash": dict_hash(key),
                 "tool_hash": dict_hash(seg),
                 "conv_hash": dict_hash(conv),
-                "http_code_raw": masked(digit_cast(le(mid_toks, 1), pa.int32())),
-                "bytes_sent": masked(digit_cast(le(mid_toks, 3), pa.int64())),
-                "object_size": masked(digit_cast(le(mid_toks, 4), pa.int64())),
-                "total_time_ms": masked(digit_cast(le(mid_toks, 5), pa.int32())),
-                "byte_start": pc.cast(pc.struct_field(rng, "s"), pa.int64()),
-                "byte_end": pc.cast(pc.struct_field(rng, "e"), pa.int64()),
+                "http_code_raw": masked(digit_cast(le_s(mid_toks, 1), pa.int32())),
+                "bytes_sent": masked(digit_cast(le_s(mid_toks, 3), pa.int64())),
+                "object_size": masked(digit_cast(le_s(mid_toks, 4), pa.int64())),
+                "total_time_ms": masked(digit_cast(le_s(mid_toks, 5), pa.int32())),
+                "byte_start": masked(pc.cast(pc.struct_field(rng, "s"), pa.int64())),
+                "byte_end": masked(pc.cast(pc.struct_field(rng, "e"), pa.int64())),
                 "user_agent": ua,
             }
             keep = [

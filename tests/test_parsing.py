@@ -104,3 +104,69 @@ def test_contains_pattern(spark):
         one = spark.createDataFrame([(r["ua"],)], "ua string")
         got = one.select(contains_pattern("ua", r["pat"])).collect()[0][0]
         assert got == r["want"]
+
+
+def _odd_ts_lines():
+    """grammar-legal lines whose bracketed timestamp is NOT the usual
+    two-token '[date offset]' shape (ADVICE r3 #1: positional token
+    indices shift, so the Arrow parser must not silently extract fields
+    from the wrong tokens)."""
+    tail = (
+        '1.2.3.4 REQSTR REQID REST.GET.OBJECT /show/ep.mp3 '
+        '"GET /show/ep.mp3 HTTP/1.1" 206 - 1024 2048 77 42 "-" '
+        '"Spotify/8.8 Android" v1 H1 SigV2 C A host.example.com TLSv1.2 '
+        'arn false "bytes=0-1023"'
+    )
+    return [
+        # control: canonical two-token timestamp → ok
+        f"own buck [03/May/2025:10:20:30 +0000] {tail}",
+        # one-token bracket (the ADVICE repro) → bad_time, fields intact
+        f"own buck [99/May/2025bad] {tail}",
+        # three-token bracket → bad_time, fields intact
+        f"own buck [03/May/2025:10:20:30 +0000 extra] {tail}",
+        # two tokens, junk offset → bad_time (never a silent +0000)
+        f"own buck [03/May/2025:10:20:30 junk] {tail}",
+        # two tokens, trailing junk after seconds → bad_time (the parse
+        # must consume the whole date token, not a 20-char prefix)
+        f"own buck [03/May/2025:10:20:303 +0000] {tail}",
+        # empty bracket → bad_time
+        f"own buck [] {tail}",
+        # not grammar-legal at all → bad_format
+        "own buck oops truncated",
+    ]
+
+
+def test_parser_equality_on_odd_timestamp_brackets(spark):
+    """all three slim builders agree row-for-row on bracket shapes the
+    generator never emits (1-token / 3-token / junk-offset timestamps):
+    the Arrow positional parser anchors ip/key from the line END, so a
+    variable-width bracket cannot shift field extraction."""
+    from s3_log_parser_spark.plans.pipeline import build_slim
+
+    rows = [
+        ("conv-0", i, "assistant", line, "t", None)
+        for i, line in enumerate(_odd_ts_lines())
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    arrow = build_slim(df, arrow=True)
+    pandas_fused = build_slim(df, arrow=False)
+    modular = build_slim(df, fused=False)
+    assert arrow.exceptAll(pandas_fused).isEmpty()
+    assert pandas_fused.exceptAll(arrow).isEmpty()
+    assert arrow.exceptAll(modular).isEmpty()
+    assert modular.exceptAll(arrow).isEmpty()
+
+    got = {r["turn_idx"]: r for r in arrow.collect()}
+    assert got[0]["parse_status"] == "ok"
+    for i in (1, 2, 3, 4, 5):
+        assert got[i]["parse_status"] == "bad_time", i
+    assert got[6]["parse_status"] == "bad_format"
+    # the ADVICE repro: remote_ip must hash from the ip TOKEN, not the
+    # requester field, on the one-token-bracket line
+    from s3_log_parser_spark.functions.hashes import djb2_py
+
+    assert got[1]["ip_hash"] == djb2_py("1.2.3.4")
+    assert got[1]["key_hash"] == djb2_py("/show/ep.mp3")
