@@ -80,16 +80,38 @@ def _cos_x1m_pairs_udf(
     form, so results are bit-identical to ``dot_pre``/``cosine_x1m``
     (pairwise/BLAS summation would differ in the last ulp and break the
     cross-engine oracle). ~8× less per-pair overhead than the
-    interpreted HOF lambda inside O(N²) joins."""
-    if len(a) == 0:
-        return pd.Series([], dtype="int64")
-    av = np.array(a.tolist(), dtype=np.float64)
-    bv = np.array(b.tolist(), dtype=np.float64)
-    acc = np.zeros(len(a), dtype=np.float64)
-    for j in range(av.shape[1]):  # fold-left over the dim axis
-        acc = acc + av[:, j] * bv[:, j]
-    out = np.floor(acc / (na.to_numpy() * nb.to_numpy()) * 1_000_000)
-    return pd.Series(out).astype("int64")
+    interpreted HOF lambda inside O(N²) joins.
+
+    NULL/ragged rows yield NULL, matching the HOF zip_with/aggregate
+    NULL propagation (ADVICE r3 #3: one NULL embedding must not fail
+    the whole job) — callers' threshold filters then drop them exactly
+    as they dropped NULL cosines before."""
+    n = len(a)
+    if n == 0:
+        return pd.Series([], dtype="Int64")
+    al, bl = a.tolist(), b.tolist()
+    nav = na.to_numpy(dtype=np.float64, na_value=np.nan)
+    nbv = nb.to_numpy(dtype=np.float64, na_value=np.nan)
+    out = np.full(n, np.nan)
+    # group rows by (shared) vector length so each group is one dense
+    # matrix; a/b length mismatch → NULL (zip_with pads with NULL → the
+    # fold returns NULL)
+    by_len: dict[int, list[int]] = {}
+    for i in range(n):
+        x, y = al[i], bl[i]
+        if x is None or y is None or len(x) != len(y):
+            continue
+        by_len.setdefault(len(x), []).append(i)
+    for dim, idx in by_len.items():
+        ii = np.array(idx, dtype=np.intp)
+        av = np.array([al[i] for i in idx], dtype=np.float64)
+        bv = np.array([bl[i] for i in idx], dtype=np.float64)
+        acc = np.zeros(len(idx), dtype=np.float64)
+        for j in range(dim):  # fold-left over the dim axis
+            acc = acc + av[:, j] * bv[:, j]
+        out[ii] = np.floor(acc / (nav[ii] * nbv[ii]) * 1_000_000)
+    out[~np.isfinite(out)] = np.nan  # 0-norm / NULL norm → NULL
+    return pd.Series(out).astype("Int64")
 
 
 def cos_x1m_pairs(a: Column, b: Column, na: Column, nb: Column) -> Column:

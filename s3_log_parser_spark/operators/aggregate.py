@@ -78,9 +78,12 @@ def grouped_export(
     # collision-safe working names: an input frame carrying either name
     # would otherwise produce ambiguous-column failures or wrong counts
     grp_n, rn = "__s3lp_grp_n__", "__s3lp_rn__"
-    assert grp_n not in df.columns and rn not in df.columns, (
-        f"input must not carry reserved working columns {grp_n!r}/{rn!r}"
-    )
+    if grp_n in df.columns or rn in df.columns:
+        # a plain assert would vanish under `python -O`, turning this
+        # into ambiguous-column failures or silently wrong counts
+        raise ValueError(
+            f"input must not carry reserved working columns {grp_n!r}/{rn!r}"
+        )
     capped = (
         df.withColumn(grp_n, F.count("*").over(Window.partitionBy(keyc)))
         .withColumn(rn, F.row_number().over(w))

@@ -542,10 +542,22 @@ def embedding_near_dups(
     (bit-identical, equality-pinned in tests). Classic "one side fits
     in memory" brute-force shape; guarded by ``block_limit`` rows.
     ``"pairs"`` is the literal self-join; ``"auto"`` picks block when
-    the corpus row count is within the broadcast guard."""
+    the corpus row count is within the broadcast guard and RAISES past
+    it (VERDICT r3 #2: the silent fallback to the literal O(N²)
+    pairwise join kicked in precisely where O(N²) is fatal — mirror
+    ``ngram_jaccard_pairs``' guard instead and point at the bucketed
+    scale path)."""
     if method == "auto":
         n = df.select(F.lit(1)).limit(block_limit + 1).count()
-        method = "block" if n <= block_limit else "pairs"
+        if n > block_limit:
+            raise ValueError(
+                f"embedding_near_dups: corpus exceeds block_limit="
+                f"{block_limit} rows; the brute-force paths are O(N²). "
+                "Use embedding_near_dups_bucketed (LSH-bucketed "
+                "self-join, the scale path), or pass method='pairs' "
+                "explicitly to accept the quadratic cost."
+            )
+        method = "block"
     if method == "block":
         return _near_dups_block(df, id_col, vec_col, threshold_x1m)
     from ..functions.vectors import as_double, dot_pre, norm_pre
@@ -593,15 +605,25 @@ def _near_dups_block(
         return df.sparkSession.createDataFrame(
             [], "id_a long, id_b long, cosine_x1m long"
         )
-    ids = np.array([r["id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["v"] for r in rows], dtype=np.float64)
-    # per-row norms, same fold order as norm_pre (fold-left over dims)
-    nrm = np.zeros(len(ids), dtype=np.float64)
-    for d in range(mat.shape[1]):
-        nrm = nrm + mat[:, d] * mat[:, d]
-    nrm = np.sqrt(nrm)
+    # one dense matrix PER VECTOR LENGTH: pairs across different
+    # lengths score NULL in the pairwise path (zip_with padding) and
+    # are dropped by the threshold, so the block path must simply never
+    # score them — keeps block == pairs parity on ragged corpora
+    groups: dict[int, list] = {}
+    for r in rows:
+        groups.setdefault(len(r["v"]), []).append(r)
+    mats = {}
+    for dim, grp in groups.items():
+        ids = np.array([r["id"] for r in grp], dtype=np.int64)
+        mat = np.array([r["v"] for r in grp], dtype=np.float64)
+        # per-row norms, same fold order as norm_pre (fold-left)
+        nrm = np.zeros(len(ids), dtype=np.float64)
+        for d in range(dim):
+            nrm = nrm + mat[:, d] * mat[:, d]
+        nrm = np.sqrt(nrm)
+        mats[dim] = (ids, mat, nrm)
     sc = df.sparkSession.sparkContext
-    b = sc.broadcast((ids, mat, nrm))
+    b = sc.broadcast(mats)
 
     out_schema = T.StructType(
         [
@@ -612,10 +634,14 @@ def _near_dups_block(
     )
 
     def score(batches):
-        bids, bmat, bnrm = b.value
+        mats_b = b.value
         for pdf in batches:
             out_a, out_b, out_c = [], [], []
             for rid, vec in zip(pdf["id"], pdf["v"]):
+                group = mats_b.get(len(vec))
+                if group is None:
+                    continue  # no same-length partner exists
+                bids, bmat, bnrm = group
                 # each unordered pair exactly once: this row is id_a,
                 # broadcast rows with larger id are the id_b side
                 mask = bids > rid
@@ -629,17 +655,21 @@ def _near_dups_block(
                     an = an + a[d] * a[d]
                     acc = acc + a[d] * sub[:, d]
                 an = np.sqrt(an)
-                cos = np.floor(acc / (an * subn) * 1_000_000).astype(np.int64)
-                hit = cos >= threshold_x1m
+                cosf = np.floor(acc / (an * subn) * 1_000_000)
+                # non-finite (0-norm / NULL element) scores NULL in the
+                # pairwise path and is threshold-dropped — mirror that
+                hit = np.isfinite(cosf) & (cosf >= threshold_x1m)
                 if hit.any():
                     out_a.extend([rid] * int(hit.sum()))
                     out_b.extend(subi[hit].tolist())
-                    out_c.extend(cos[hit].tolist())
+                    out_c.extend(cosf[hit].astype(np.int64).tolist())
             yield pd.DataFrame(
                 {"id_a": out_a, "id_b": out_b, "cosine_x1m": out_c}
             ).astype("int64")
 
-    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).filter(
+        F.col("v").isNotNull()  # the broadcast side filters too; a NULL
+    )  # here would crash len(vec) in score (ADVICE r3 #2)
     return src.mapInPandas(score, out_schema)
 
 

@@ -338,3 +338,83 @@ def test_simhash_64bit_banding_lossless(spark):
         .collect()
     }
     assert banded == brute
+
+
+def test_embedding_near_dups_null_and_ragged_vectors(spark):
+    """ADVICE r3 #2/#3: a NULL or odd-length embedding must not fail the
+    job in EITHER brute-force path, and block == pairs parity must hold
+    on such corpora (NULL/cross-length pairs are dropped, same-length
+    pairs still score)."""
+    from s3_log_parser_spark.operators.dedup import embedding_near_dups
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, None),                       # NULL vector
+        (4, [1.0, 0.0]),                 # ragged (different length)
+        (5, [0.95, 0.05]),               # ragged partner of 4
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    p = {
+        tuple(r)
+        for r in embedding_near_dups(
+            emb, threshold_x1m=800_000, method="pairs"
+        ).collect()
+    }
+    b = {
+        tuple(r)
+        for r in embedding_near_dups(
+            emb, threshold_x1m=800_000, method="block"
+        ).collect()
+    }
+    assert p == b
+    ids = {(a, bb) for a, bb, _ in p}
+    assert (1, 2) in ids and (4, 5) in ids  # same-length pairs survive
+    assert all(3 not in pair for pair in ids)
+    assert not any((a, bb) == (1, 4) or (a, bb) == (2, 4) for a, bb in ids)
+
+
+def test_cosine_topk_null_embedding_survives(spark):
+    """a NULL embedding row must not fail cosine_topk (the shared
+    pairwise-cosine UDF propagates NULL instead of raising)."""
+    from s3_log_parser_spark.operators.similarity import cosine_topk
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, None),
+        (4, [0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = cosine_topk(emb, emb.filter("vec_id = 1"), k=2).collect()
+    assert [r.c_id for r in got] == [2, 4]  # NULL row never ranks
+
+
+def test_embedding_near_dups_auto_raises_past_guard(spark):
+    """VERDICT r3 #2: method='auto' past block_limit must raise with a
+    pointer to the bucketed scale path, never silently launch O(N²)."""
+    import pytest
+
+    from s3_log_parser_spark.operators.dedup import embedding_near_dups
+
+    emb = spark.range(10).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(7), F.rand(11)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="bucketed"):
+        embedding_near_dups(emb, block_limit=5)
+    # explicit opt-in still works
+    assert embedding_near_dups(emb, block_limit=5, method="pairs").count() >= 0
+
+
+def test_grouped_export_reserved_columns_raise(spark):
+    """the working-column collision guard must survive python -O."""
+    import pytest
+
+    from s3_log_parser_spark.operators.aggregate import grouped_export
+
+    df = spark.range(3).select(
+        F.col("id"), F.lit(1).alias("__s3lp_rn__")
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        grouped_export(df, "id", max_rows_per_group=2)
