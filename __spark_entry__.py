@@ -826,11 +826,21 @@ def _djac(spark, sf):
 
 
 def _simhash_sql(bits: int = 16) -> str:
+    # bit j = parity of the universal hash ((2j+1)·h + j²+7) mod P —
+    # mirrors dedup._simhash_bit (raw bit extraction would zero bits
+    # ≥ 32: DJB2 digests are 32-bit, and constant upper bands make the
+    # banded join all-pairs)
     terms = []
     for j in range(bits):
+        # bit 63 is the sign bit: the BIGINT literal must be the C-style
+        # min-int expression (a bare -9223372036854775808 parses as
+        # -(INT128 literal) and fails the BIGINT cast in DuckDB) —
+        # mirrors Spark's two's-complement -(1<<63) in simhash_df
+        lit = f"({-(1 << 63) + 1}::BIGINT - 1)" if j == 63 else str(1 << j)
+        g = f"((({2 * j + 1} * h + {j * j + 7}) % 4294967311) % 2)"
         terms.append(
-            f"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> {j}) & 1) * 2 - 1)) > 0"
-            f" THEN {1 << j} ELSE 0 END)"
+            f"(CASE WHEN list_sum(list_transform(hs, h -> {g} * 2 - 1)) > 0"
+            f" THEN {lit} ELSE 0 END)"
         )
     return " + ".join(terms)
 
@@ -913,14 +923,51 @@ def _cos_x1m_sql(a: str, b: str) -> str:
     """,
 )
 def _dsimp(spark, sf):
-    # SimHash banding: hamming-≤3 candidate pairs via 4×4-bit band
-    # bucketing (lossless by pigeonhole) + exact hamming verify
+    # SimHash banding, 16-bit oracle-parity mode: hamming-≤3 candidate
+    # pairs via 4×4-bit band bucketing (lossless by pigeonhole) + exact
+    # hamming verify. NOT the scale default — see dedup_simhash_pairs_64
     from s3_log_parser_spark.operators.dedup import simhash_pairs
 
     return simhash_pairs(
         _t(spark, sf, "documents"), "doc_id", "text",
         bits=16, band_bits=4, max_hamming=3,
     ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+@q(
+    "dedup_simhash_pairs_64",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_toks_sql('text')} AS tk FROM documents
+    ), th AS (
+      SELECT doc_id, list_transform(tk, t -> {_djb2_sql('t')}) AS hs FROM toks
+    ), sh AS (
+      SELECT doc_id, CAST({_simhash_sql(64)} AS BIGINT) AS sh FROM th
+    ), bands AS (
+      SELECT doc_id, sh, 0 AS band, (sh >> 0) & 65535 AS val FROM sh UNION ALL
+      SELECT doc_id, sh, 1, (sh >> 16) & 65535 FROM sh UNION ALL
+      SELECT doc_id, sh, 2, (sh >> 32) & 65535 FROM sh UNION ALL
+      SELECT doc_id, sh, 3, (sh >> 48) & 65535 FROM sh
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """,
+)
+def _dsimp64(spark, sf):
+    # the PRODUCTION simhash geometry (and the simhash_pairs default,
+    # VERDICT r3 #1): 64-bit signatures, 4×16-bit bands → 65,536 join
+    # keys per band, so banded candidates stay sub-quadratic at scale
+    # (the 16-bit mode above has 64 join keys total ≈ all-pairs).
+    # DuckDB >> is arithmetic on negative BIGINT, same as Spark's
+    # shiftright, so the sign-bit band (48..63) agrees cross-engine.
+    from s3_log_parser_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf, "documents"), "doc_id", "text").select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 @q(
