@@ -208,6 +208,26 @@ def ivf_topk(
                 F.col(vecc), F.col("cent_vec"), F.col("_nrm"), F.col("cent_nrm")
             ).alias("s"),
         )
+        if nbest == 1:
+            # the CORPUS side: a row_number window would shuffle AND
+            # sort all N×n_cells scored rows; max_by is one hash
+            # aggregate with map-side partial reduction (the crossJoin
+            # keeps each id's n_cells rows in one partition, so the
+            # shuffle moves ~N pre-reduced rows). Tie-break matches the
+            # window's (s DESC, cent_id ASC): max of (s, -cent_id).
+            picked = scored.groupBy(idc).agg(
+                F.max_by(
+                    F.struct(F.col(vecc).alias("v"), F.col("_nrm").alias("n"),
+                             F.col("cent_id").alias("c")),
+                    F.struct(F.col("s"), (-F.col("cent_id")).alias("nc")),
+                ).alias("_best")
+            )
+            return picked.select(
+                F.col(idc),
+                F.col("_best.v").alias(vecc),
+                F.col("_best.n").alias(f"{idc}_nrm"),
+                F.col("_best.c").alias(out),
+            )
         w = Window.partitionBy(idc).orderBy(F.col("s").desc(), F.col("cent_id"))
         return (
             scored.withColumn("_r", F.row_number().over(w))
