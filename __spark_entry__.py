@@ -1414,6 +1414,36 @@ def _psink(spark, sf):
     ).agg(F.count("*").alias("count"), F.count_distinct("tool").alias("n_tools"))
 
 
+@q(
+    "grouped_export_stats",
+    f"""
+    SELECT tool, CAST(COUNT(*) AS BIGINT) AS count,
+           CAST(LEAST(COUNT(*), 100) AS BIGINT) AS n_members
+    FROM read_parquet('{_GOLDEN_SLIM}') GROUP BY tool
+    """,
+)
+def _gexp(spark, sf):
+    # S6 grouped-export shape (the reference extract tool's grouped-JSON
+    # document, s3extract.c:251-306) as a driver query: per-group TRUE
+    # count plus capped member-list size — pins that the pre-aggregation
+    # row_number cap keeps the uncapped count while bounding collected
+    # members (the golden-file pin covers the JSON rendering itself)
+    from s3_log_parser_spark.operators.aggregate import grouped_export
+    from s3_log_parser_spark.plans.pipeline import build_slim
+    from s3_log_parser_spark.sources.gen import gen_transcripts
+
+    slim = build_slim(gen_transcripts(spark, rows=10_000))
+    g = grouped_export(
+        slim, "tool", max_rows_per_group=100,
+        member_order=("conv_id", "turn_idx"),
+    )
+    return g.select(
+        "tool",
+        F.col("count").cast("long").alias("count"),
+        F.size("logs").cast("long").alias("n_members"),
+    )
+
+
 # S3/S5 sink fidelity: the slim DAG's output written through the text
 # sinks (CSV, flat JSON), read back typed, and fingerprinted — value
 # corruption in serialization (timestamps, NULLs, quoting, int widths)
