@@ -278,7 +278,9 @@ def ngram_jaccard_pairs(
     auto_block: bool = False,
     unblocked_limit: int = 10_000,
     method: str = "index",
-    max_df: int | None = None,
+    max_df: int | str | None = "auto",
+    auto_exact_limit: int = 100_000,
+    auto_max_df: int = 1_000,
 ) -> DataFrame:
     """exact n-gram Jaccard similarity for candidate pairs.
 
@@ -300,6 +302,15 @@ def ngram_jaccard_pairs(
     intersection; ``method="pairs"`` keeps the literal pairwise form
     (also used automatically when ``threshold_x1000 < 1``, where
     zero-overlap pairs must be emitted).
+
+    ``max_df`` guards the index join's skew term Σ df(h)² (a shingle in
+    k docs contributes k² join rows — one boilerplate header across a
+    100 TB corpus is an accidental cartesian). Default ``"auto"``
+    (VERDICT r3 #3): exact (no cap) for inputs ≤ ``auto_exact_limit``
+    rows; larger inputs get ``auto_max_df`` applied WITH a loud warning
+    (scores become lower bounds — see :func:`_jaccard_index_join`).
+    Pass ``max_df=None`` explicitly for exact-at-any-size, or an int to
+    choose the cap.
     """
     hdf = df.select(
         F.col(id_col).alias("id"),
@@ -333,6 +344,29 @@ def ngram_jaccard_pairs(
                 "auto_block=True, or raise unblocked_limit explicitly"
             )
     if method == "index" and threshold_x1000 >= 1:
+        if max_df == "auto":
+            # un-grouped inputs already passed the ≤ unblocked_limit
+            # probe above (≪ auto_exact_limit → exact); only grouped
+            # inputs need a size probe here
+            if group_col is None:
+                max_df = None
+            else:
+                probe = df.select(F.lit(1)).limit(auto_exact_limit + 1).count()
+                if probe > auto_exact_limit:
+                    import warnings
+
+                    max_df = auto_max_df
+                    warnings.warn(
+                        f"ngram_jaccard_pairs: input exceeds "
+                        f"{auto_exact_limit} rows; applying stop-shingle "
+                        f"cap max_df={auto_max_df} (reported jaccard "
+                        "becomes a lower bound for pairs containing "
+                        "dropped high-frequency shingles). Pass "
+                        "max_df=None for an exact run, or an int to tune.",
+                        stacklevel=2,
+                    )
+                else:
+                    max_df = None
         return _jaccard_index_join(
             hdf, bool(group_col), threshold_x1000, max_df=max_df
         )

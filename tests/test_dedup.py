@@ -467,3 +467,47 @@ def test_simhash_default_is_production_geometry(spark):
     n64 = simhash_pairs(docs).count()
     n16 = simhash_pairs(docs, bits=16, band_bits=4).count()
     assert n64 < n16, (n64, n16)
+
+
+def test_ngram_jaccard_auto_stop_shingle_guard(spark, docs):
+    """VERDICT r3 #3: the default max_df='auto' is exact below
+    auto_exact_limit and applies a loud, capped lower-bound mode above
+    it — a boilerplate shingle can no longer drive Σ df(h)² unguarded
+    by default."""
+    import warnings
+
+    from s3_log_parser_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = docs.withColumn("grp", F.lit(1))
+    exact = {
+        (r.id_a, r.id_b): r.jaccard_x1000
+        for r in ngram_jaccard_pairs(
+            docs, threshold_x1000=100, unblocked_limit=10_000, max_df=None,
+            group_col="grp",
+        ).collect()
+    }
+    # small grouped input: auto == exact, no warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        auto_small = {
+            (r.id_a, r.id_b): r.jaccard_x1000
+            for r in ngram_jaccard_pairs(
+                docs, threshold_x1000=100, unblocked_limit=10_000,
+                group_col="grp",
+            ).collect()
+        }
+    assert auto_small == exact
+    # past the (test-shrunk) limit: warns and caps
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        capped = {
+            (r.id_a, r.id_b): r.jaccard_x1000
+            for r in ngram_jaccard_pairs(
+                docs, threshold_x1000=100, unblocked_limit=10_000,
+                group_col="grp", auto_exact_limit=3, auto_max_df=3,
+            ).collect()
+        }
+    assert any("stop-shingle" in str(x.message) for x in w)
+    assert set(capped) <= set(exact)
+    for pair, j in capped.items():
+        assert j <= exact[pair]
