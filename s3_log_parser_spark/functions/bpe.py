@@ -60,7 +60,10 @@ def bpe_token_count_py(text: str | None) -> int:
 def _bpe_count_udf(texts: pd.Series) -> pd.Series:
     pat = re.compile(BPE_RE)
 
-    @lru_cache(maxsize=None)
+    # bounded: Zipfian corpora hit ~99% on a 1M-entry cache, and an
+    # unbounded cache on a 100 TB run would grow with the distinct
+    # pre-token count of the whole corpus per worker (VERDICT r3 #5)
+    @lru_cache(maxsize=1 << 20)
     def units(tok: str) -> int:
         return bpe_units(tok)
 
