@@ -55,6 +55,7 @@ def route_and_write(
     mode: str = "overwrite",
     skip: Callable[[str], bool] | None = None,
     on_done: Callable[[str], None] | None = None,
+    timings_out: dict[str, float] | None = None,
 ) -> dict[str, DataFrame]:
     """Fan the slim table out to sinks; return per-sink count frames.
 
@@ -105,6 +106,17 @@ def route_and_write(
     counts: dict[str, DataFrame] = {}
 
     def write_one(r: Route) -> None:
+        import time as _time
+
+        _t0 = _time.perf_counter()
+        _write_one_inner(r)
+        if timings_out is not None:
+            # per-sink wall time of this thread's write job — sinks run
+            # CONCURRENTLY, so these overlap and don't sum to the route
+            # stage wall; they localize which sink regressed
+            timings_out[r.name] = _time.perf_counter() - _t0
+
+    def _write_one_inner(r: Route) -> None:
         routed = slim.filter(r.predicate(slim))
         counts[r.name] = counts_for(r, routed)
         stage = f"sink:{r.name}"

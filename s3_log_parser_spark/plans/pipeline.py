@@ -128,14 +128,18 @@ def run_pipeline(
     slim = catalog.read("slim")
 
     t0 = time.perf_counter()
+    sink_timings: dict[str, float] = {}
     counts = route_and_write(
         slim,
         catalog,
         routes=routes,
         skip=manifest.complete,
         on_done=manifest.mark,
+        timings_out=sink_timings,
     )
     timings["route"] = time.perf_counter() - t0
+    for name, dt in sink_timings.items():
+        timings[f"route:{name}"] = dt
 
     lineage = None
     if verbose:

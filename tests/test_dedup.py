@@ -405,21 +405,6 @@ def test_embedding_near_dups_auto_raises_past_guard(spark):
         embedding_near_dups(emb, block_limit=5)
     # explicit opt-in still works
     assert embedding_near_dups(emb, block_limit=5, method="pairs").count() >= 0
-
-
-def test_grouped_export_reserved_columns_raise(spark):
-    """the working-column collision guard must survive python -O."""
-    import pytest
-
-    from s3_log_parser_spark.operators.aggregate import grouped_export
-
-    df = spark.range(3).select(
-        F.col("id"), F.lit(1).alias("__s3lp_rn__")
-    )
-    with pytest.raises(ValueError, match="reserved"):
-        grouped_export(df, "id", max_rows_per_group=2)
-
-
 def test_simhash_default_is_production_geometry(spark):
     """VERDICT r3 #1: the default simhash_pairs geometry must be the
     64-bit/16-bit-band production mode, and its candidate set must

@@ -90,5 +90,5 @@ def test_grouped_export_reserved_column_collision(spark):
     from s3_log_parser_spark.operators.aggregate import grouped_export
 
     df = spark.range(10).withColumn("__s3lp_rn__", F.lit(1))
-    with pytest.raises(AssertionError, match="reserved working column"):
+    with pytest.raises(ValueError, match="reserved working column"):
         grouped_export(df, "id", max_rows_per_group=2)
