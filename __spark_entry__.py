@@ -1551,6 +1551,72 @@ def _stream_parity(spark, sf):
 
 
 @q(
+    "streaming_unique_starts",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_unique,
+           CAST(SUM(ip_hash) AS BIGINT) AS sum_ip,
+           CAST(SUM(key_hash) AS BIGINT) AS sum_key
+    FROM (SELECT DISTINCT ip_hash, key_hash
+          FROM read_parquet('{_GOLDEN_SLIM}') WHERE flags & 1 = 1)
+    """,
+)
+def _stream_unique(spark, sf):
+    """Unbounded-state streaming ST1 (applyInPandasWithState; VERDICT
+    r3 missing #4): the emitted KEY SET over a bounded multi-batch
+    replay of the seed-42 fixture must equal the batch window's
+    first-occurrence key set (golden slim rows with the UNIQUE bit).
+    Key-set aggregates are representative-row-independent, so the
+    compare is exact even though streaming picks representatives by
+    arrival order across micro-batches."""
+    import shutil
+    import tempfile
+
+    from s3_log_parser_spark.schemas import TRANSCRIPT_SCHEMA
+    from s3_log_parser_spark.sources.gen import gen_transcripts
+    from s3_log_parser_spark.streaming.stream import (
+        build_slim_stream,
+        unique_starts_stream_exact,
+    )
+
+    root = tempfile.mkdtemp(prefix="stream_unique_")
+    src, out, ckpt = (os.path.join(root, d) for d in ("src", "out", "ckpt"))
+    # 4 files + maxFilesPerTrigger=1 → duplicates span micro-batches,
+    # exercising the cross-batch state (the regime watermark-scoped
+    # dedup gets wrong once keys outlive the watermark)
+    gen_transcripts(spark, rows=10_000).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sq = (
+        unique_starts_stream_exact(build_slim_stream(stream))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(600)
+    res = (
+        spark.read.parquet(out)
+        .select("ip_hash", "key_hash")
+        .distinct()
+        .agg(
+            F.count("*").alias("n_unique"),
+            F.sum("ip_hash").alias("sum_ip"),
+            F.sum("key_hash").alias("sum_key"),
+        )
+        .localCheckpoint()
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return res
+
+
+@q(
     "tpch_q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,

@@ -46,6 +46,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # operator timings, excluded from the per-query block
 NON_OPERATOR_QUERIES = {
     "streaming_router_parity",
+    "streaming_unique_starts",
     "csv_sink_roundtrip",
     "json_sink_roundtrip",
 }

@@ -97,6 +97,63 @@ def unique_starts_stream(slim_stream: DataFrame) -> DataFrame:
     return starts.dropDuplicatesWithinWatermark(["ip_hash", "key_hash"])
 
 
+def unique_starts_stream_exact(slim_stream: DataFrame) -> DataFrame:
+    """streaming ST1 with UNBOUNDED state (VERDICT r3 missing #4): one
+    emitted row per distinct (ip_hash, key_hash) start key over the
+    WHOLE stream, via ``applyInPandasWithState`` holding one boolean
+    per seen key — a key that reappears hours after its watermark
+    would expire is still deduplicated, unlike
+    ``dropDuplicatesWithinWatermark``.
+
+    Scale posture: state is O(distinct keys) booleans in the state
+    store (RocksDB in production), hash-partitioned by key — the same
+    asymptotics as the batch window's shuffle, amortized over the
+    stream's lifetime. The emitted REPRESENTATIVE row is the
+    (ts, conv_id, turn_idx)-minimum within the micro-batch that first
+    contains the key; across micro-batches arrival order decides, so
+    the emitted KEY SET is exactly the batch ST1 key set while the
+    representative may differ on replays that split a key across
+    batches (inherent to any streaming dedup; the batch window stays
+    the bit-exact contract surface)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    starts = slim_stream.filter(
+        (F.col("http_code") == 206) & ((F.col("flags") % 4) >= 2)
+    )
+    schema = starts.schema
+    order_cols = [c for c in ("ts", "conv_id", "turn_idx") if c in starts.columns]
+
+    def first_per_key(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            # key already emitted in an earlier micro-batch
+            for _ in pdfs:
+                pass
+            return
+        best = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            cand = pdf.sort_values(order_cols).iloc[[0]] if order_cols else pdf.iloc[[0]]
+            if best is None:
+                best = cand
+            else:
+                both = pd.concat([best, cand])
+                best = both.sort_values(order_cols).iloc[[0]] if order_cols else both.iloc[[0]]
+        if best is not None:
+            state.update((True,))
+            yield best
+
+    return starts.groupBy("ip_hash", "key_hash").applyInPandasWithState(
+        first_per_key,
+        outputStructType=schema,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def daily_counts_stream(slim_stream: DataFrame) -> DataFrame:
     """A2 as a tumbling-day windowed aggregate with late-data handling."""
     return slim_stream.groupBy(

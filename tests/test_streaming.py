@@ -82,3 +82,49 @@ def test_stream_batch_rowset_equivalence(spark, transcripts, stream_dirs):
     streamed = align_schema(streamed, batch)
     assert streamed.exceptAll(batch).isEmpty()
     assert batch.exceptAll(streamed).isEmpty()
+
+
+def test_stream_exact_dedup_unbounded_state(spark, transcripts, tmp_path_factory):
+    """unique_starts_stream_exact: exactly ONE emitted row per distinct
+    (ip_hash, key_hash) start key across MULTIPLE micro-batches (the
+    regime where watermark-scoped dedup re-emits expired keys), and the
+    emitted key set equals the batch ST1 key set."""
+    from s3_log_parser_spark.plans.pipeline import build_slim
+    from s3_log_parser_spark.streaming.stream import unique_starts_stream_exact
+
+    src = str(tmp_path_factory.mktemp("exact_src"))
+    out = str(tmp_path_factory.mktemp("exact_out"))
+    ckpt = str(tmp_path_factory.mktemp("exact_ckpt"))
+    # several files → maxFilesPerTrigger=1 forces multiple micro-batches,
+    # so duplicate keys arrive in DIFFERENT batches
+    transcripts.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = unique_starts_stream_exact(build_slim_stream(stream))
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out)
+    keys = got.select("ip_hash", "key_hash").collect()
+    key_set = {(r["ip_hash"], r["key_hash"]) for r in keys}
+    assert len(keys) == len(key_set), "a key was emitted more than once"
+
+    batch_keys = {
+        (r["ip_hash"], r["key_hash"])
+        for r in build_slim(transcripts)
+        .filter(F.col("flags").bitwiseAND(F.lit(1)) == 1)
+        .select("ip_hash", "key_hash")
+        .collect()
+    }
+    assert key_set == batch_keys
