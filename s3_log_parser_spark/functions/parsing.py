@@ -247,6 +247,22 @@ def parse_text_slim(
             ts = pd.to_datetime(
                 raw["ts_str"], format="%d/%b/%Y:%H:%M:%S %z", errors="coerce", utc=True
             )
+            # unify the offset domain with the java/Arrow paths: strict
+            # ±HHMM with |offset| ≤ 18:00 (python %z alone accepts up
+            # to ±23:59 and exotic spellings like 'Z'/'+HH:MM', which
+            # java's ZoneOffset / the Arrow kernel reject — cross-parser
+            # fuzz found '-2359' diverging)
+            off = raw["ts_str"].str.extract(r" [+-](\d{2})(\d{2})$")
+            off_ok = (
+                off[0].notna()
+                & (pd.to_numeric(off[1], errors="coerce") <= 59)
+                & (
+                    pd.to_numeric(off[0], errors="coerce") * 60
+                    + pd.to_numeric(off[1], errors="coerce")
+                    <= 18 * 60
+                )
+            )
+            ts = ts.where(off_ok, pd.NaT)
             status = np.where(
                 raw["owner"].isna(),
                 "bad_format",

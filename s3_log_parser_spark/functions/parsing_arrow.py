@@ -224,7 +224,12 @@ def parse_text_arrow(
             )
             # offset handling via the (tiny) distinct-offset dictionary;
             # strict "±HHMM]" shape — a malformed offset is bad_time
-            # (NULL), not a silent +0000
+            # (NULL), not a silent +0000. Domain = the INTERSECTION of
+            # all three parser engines: java's ZoneOffset caps at
+            # ±18:00 and both java/python require MM ≤ 59, so anything
+            # looser here would diverge from the pandas/SQL paths
+            # (found by the cross-parser fuzz: '-2359' parses under
+            # python %z but not java)
             od = pc.dictionary_encode(le_s(ts_parts, 1))
 
             def off_secs(v):
@@ -236,7 +241,10 @@ def parse_text_arrow(
                     or not v[1:5].isdigit()
                 ):
                     return None
-                s = int(v[1:3]) * 3600 + int(v[3:5]) * 60
+                hh, mm = int(v[1:3]), int(v[3:5])
+                s = hh * 3600 + mm * 60
+                if mm > 59 or s > 18 * 3600:
+                    return None
                 return -s if v[0] == "-" else s
 
             olut = pa.array(

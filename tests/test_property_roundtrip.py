@@ -113,3 +113,91 @@ def test_junk_lines_never_crash(spark):
     df = spark.createDataFrame([(j,) for j in junk], "text string")
     got = parse_text_pandas(df).select("parse_status").collect()
     assert all(r["parse_status"] == "bad_format" for r in got)
+
+
+def test_three_parser_slim_equality_on_fuzzed_lines(spark):
+    """hypothesis-driven 3-way parser equality (ADVICE r3 #1 hardening):
+    the Arrow positional kernel, pandas fused UDF, and modular pandas
+    path must produce identical slim rows for arbitrary grammar-legal
+    lines — including brackets with 0..4 space-separated tokens and
+    junk/valid offset spellings. Scope matches the kernels' documented
+    assumption: no '"' inside unquoted fields or the timestamp bracket
+    (real S3 logs URL-encode them)."""
+    from hypothesis import given, settings, strategies as st
+
+    from s3_log_parser_spark.plans.pipeline import build_slim
+
+    bare = st.text(
+        alphabet=[
+            c for c in string.printable if c not in ' \t\n\r\x0b\x0c"'
+        ],
+        min_size=1,
+        max_size=10,
+    )
+    quoted = st.text(
+        alphabet=[c for c in string.printable if c not in '"\n\r\x0b\x0c'],
+        min_size=0,
+        max_size=16,
+    )
+    brk_tok = st.text(
+        alphabet=[
+            c for c in string.printable if c not in ' \t\n\r\x0b\x0c"]'
+        ],
+        min_size=1,
+        max_size=12,
+    )
+    offsets = st.sampled_from(
+        ["+0000", "-0130", "+0530", "-2359", "junk", "0000", "+00x0"]
+    )
+
+    @st.composite
+    def bracket(draw):
+        kind = draw(st.integers(0, 3))
+        if kind == 0:  # valid-ish two-token timestamp
+            d = draw(st.integers(1, 28))
+            return f"{d:02d}/May/2025:10:20:30 {draw(offsets)}"
+        if kind == 1:  # one token
+            return draw(brk_tok)
+        if kind == 2:  # valid date + extra tokens
+            n = draw(st.integers(1, 3))
+            toks = " ".join(draw(brk_tok) for _ in range(n))
+            return f"03/May/2025:10:20:30 +0000 {toks}"
+        n = draw(st.integers(2, 4))  # n junk tokens
+        return " ".join(draw(brk_tok) for _ in range(n))
+
+    @st.composite
+    def line(draw):
+        bf = [draw(bare) for _ in range(17)]
+        nums = [str(draw(st.integers(0, 10**6))) for _ in range(5)]
+        ts = draw(bracket())
+        uri, ref, ua = draw(quoted), draw(quoted), draw(quoted)
+        core = (
+            f"{bf[0]} {bf[1]} [{ts}] {bf[2]} {bf[3]} {bf[4]} {bf[5]} "
+            f'{bf[6]} "{uri}" {nums[0]} {bf[7]} {nums[1]} {nums[2]} '
+            f'{nums[3]} {nums[4]} "{ref}" "{ua}" {bf[8]} {bf[9]} '
+            f"{bf[10]} {bf[11]} {bf[12]} {bf[13]} {bf[14]} {bf[15]} {bf[16]}"
+        )
+        if draw(st.booleans()):
+            core += ' "bytes=0-1023"'
+        return core
+
+    lines: list[str] = []
+
+    @settings(max_examples=120, deadline=None)
+    @given(line())
+    def gather(ln):
+        lines.append(ln)
+
+    gather()
+    rows = [("c", i, "assistant", ln, "t", None) for i, ln in enumerate(lines)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    arrow = build_slim(df, arrow=True)
+    pandas_fused = build_slim(df, arrow=False)
+    modular = build_slim(df, fused=False)
+    assert arrow.exceptAll(pandas_fused).isEmpty()
+    assert pandas_fused.exceptAll(arrow).isEmpty()
+    assert arrow.exceptAll(modular).isEmpty()
+    assert modular.exceptAll(arrow).isEmpty()
