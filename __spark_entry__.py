@@ -904,7 +904,7 @@ def _cos_x1m_sql(a: str, b: str) -> str:
     "dedup_simhash_pairs",
     f"""
     WITH toks AS (
-      SELECT doc_id, {_toks_sql('text')} AS tk FROM documents
+      SELECT doc_id, {_toks_sql('text')} AS tk FROM documents WHERE doc_id < 300
     ), th AS (
       SELECT doc_id, list_transform(tk, t -> {_djb2_sql('t')}) AS hs FROM toks
     ), sh AS (
@@ -928,9 +928,12 @@ def _dsimp(spark, sf):
     # hamming verify. NOT the scale default — see dedup_simhash_pairs_64
     from s3_log_parser_spark.operators.dedup import simhash_pairs
 
+    # subset: 16/4 banding is candidate-degenerate BY DESIGN (64 join
+    # keys — the reason it is no longer the default); a 300-doc slice
+    # pins cross-engine parity without benching an all-pairs join
     return simhash_pairs(
-        _t(spark, sf, "documents"), "doc_id", "text",
-        bits=16, band_bits=4, max_hamming=3,
+        _t(spark, sf, "documents").filter(F.col("doc_id") < 300),
+        "doc_id", "text", bits=16, band_bits=4, max_hamming=3,
     ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 

@@ -405,7 +405,17 @@ def _jaccard_index_join(
     heavy-tailed but their squares stay below |block|² (measured
     18.2 s → 12.0 s on the 5k-doc fixture, where generated boilerplate
     makes df(h) unusually fat); a df(h) cap (stop-shingle drop) is the
-    standard guard if a corpus has pathological boilerplate."""
+    standard guard if a corpus has pathological boilerplate.
+
+    100 TB note: the plan evaluates the shingle kernel once per branch
+    (both self-join sides + the sizes branch — Catalyst re-inlines the
+    expression under project collapse and exchange reuse does not
+    apply across the different shuffle keys). At fixture scale the
+    kernel is a small fraction of the query; a real 100 TB run should
+    MATERIALIZE the postings table (id, shingle_hash) once — e.g. via
+    the pipeline's catalog checkpoint — and feed it to this join, the
+    same way every production set-similarity pipeline stages its
+    inverted index."""
     post = hdf.select(
         "id", *( ["grp"] if grouped else [] ), F.explode("sh").alias("h")
     )
