@@ -496,3 +496,22 @@ def test_ngram_jaccard_auto_stop_shingle_guard(spark, docs):
     assert set(capped) <= set(exact)
     for pair, j in capped.items():
         assert j <= exact[pair]
+
+
+def test_band_joins_are_equi_joins(spark):
+    """plan pin: simhash/minhash band candidate joins must be hash/merge
+    equi-joins on the band key — never a nested-loop/cartesian."""
+    from s3_log_parser_spark.operators.dedup import (
+        minhash_candidates,
+        simhash_pairs,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(150)
+    for df in (simhash_pairs(docs), minhash_candidates(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "Cartesian" not in plan, plan[:500]
+        assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+            "ShuffledHashJoin" in plan
+        )

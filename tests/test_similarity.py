@@ -148,3 +148,19 @@ def test_vectorized_cosine_bit_identical_to_hof(spark):
     )
     diff = pairs.filter(F.col("hof") != F.col("vec")).count()
     assert diff == 0, f"{diff} of 19900 pairs differ between HOF and numpy"
+
+
+def test_ivf_corpus_assignment_has_no_window(spark):
+    """plan pin (VERDICT r3 #6): centroid assignment of the corpus side
+    must be a max_by aggregate, not a row_number window — the only
+    Window nodes partition on q_id (the broadcast query side)."""
+    import re
+
+    from s3_log_parser_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = ivf_topk(emb, emb.limit(5), k=5, n_cells=8, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    keys = re.findall(r"windowspecdefinition\((\w+)", plan)
+    assert keys and all(k == "q_id" for k in keys), keys
+    assert "max_by" in plan
