@@ -1554,6 +1554,73 @@ def _stream_parity(spark, sf):
 
 
 @q(
+    "corpus_prep_stats",
+    f"""
+    WITH dedup AS (
+      SELECT doc_id, source, text FROM (
+        SELECT doc_id, source, text,
+               ROW_NUMBER() OVER (
+                 PARTITION BY md5(lower(trim(text))) ORDER BY doc_id
+               ) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    ), toks AS (
+      SELECT doc_id, source, text, {_toks_sql('text')} AS tk FROM dedup
+    ), tkh AS (
+      SELECT doc_id, source, text, tk,
+             list_transform(tk, t -> {_djb2_sql('t')}) AS th,
+             len(tk) AS ntk
+      FROM toks
+    ), shc AS (
+      SELECT doc_id, source, text, tk,
+        list_distinct(
+          CASE WHEN ntk >= 3
+               THEN list_transform(generate_series(1, ntk - 2),
+                      i -> list_reduce(
+                             list_prepend(5381::BIGINT, th[i:i+2]),
+                             {_DJB2_FOLD}))
+               ELSE [list_reduce(list_prepend(5381::BIGINT, th),
+                                 {_DJB2_FOLD})] END) AS hs
+      FROM tkh
+    ), mh AS (
+      SELECT doc_id, {_minhash_cols_sql(8)} FROM shc
+    ), cand AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib FROM mh a JOIN mh b
+        ON a.doc_id < b.doc_id
+       AND ((a.mh_0 = b.mh_0 AND a.mh_1 = b.mh_1)
+         OR (a.mh_2 = b.mh_2 AND a.mh_3 = b.mh_3)
+         OR (a.mh_4 = b.mh_4 AND a.mh_5 = b.mh_5)
+         OR (a.mh_6 = b.mh_6 AND a.mh_7 = b.mh_7))
+    ), dropped AS (
+      SELECT DISTINCT c.ib AS doc_id FROM cand c
+      JOIN shc a ON a.doc_id = c.ia
+      JOIN shc b ON b.doc_id = c.ib
+      WHERE FLOOR(len(list_intersect(a.hs, b.hs)) * 1000.0
+                  / len(list_distinct(a.hs || b.hs))) >= 500
+    ), clean AS (
+      SELECT s.* FROM shc s
+      WHERE s.doc_id NOT IN (SELECT doc_id FROM dropped)
+        AND len(s.tk) >= 20
+        AND FLOOR(len(list_distinct(s.tk)) * 1000.0
+                  / greatest(len(s.tk), 1)) >= 330
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(tk)) AS BIGINT) AS sum_tokens,
+           CAST(SUM(len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS sum_bpe
+    FROM clean GROUP BY source
+    """,
+)
+def _corpus_prep(spark, sf):
+    # the training-data pipeline composed end-to-end (exact dedup →
+    # LSH near-dup removal → quality filter → per-source token budget);
+    # the whole composition is deterministic and cross-engine exact
+    from s3_log_parser_spark.operators.corpus import corpus_prep
+
+    return corpus_prep(_t(spark, sf, "documents")).stats
+
+
+@q(
     "streaming_unique_starts",
     f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_unique,

@@ -1,0 +1,87 @@
+"""Corpus preparation: the training-data pipeline composed end-to-end.
+
+The flagship composition of the LLM-data operator suite — what a user
+actually runs over a raw document corpus before tokenization:
+
+    exact dedup → near-dup removal → quality filter → token budgeting
+
+Each stage is an existing oracled operator; this module wires them into
+one lazy DAG (no intermediate actions — Catalyst sees the whole plan)
+and reports per-source corpus statistics. Every stage is deterministic
+and cross-engine exact, so the complete composition has a DuckDB
+oracle (driver query ``corpus_prep_stats``).
+
+Scale shape per stage (all pinned elsewhere, composed here):
+- exact dedup: hash-groupBy window winner (never ``dropDuplicates``);
+- near-dup: MinHash-LSH banding candidates + exact Jaccard verify
+  (``ngram_jaccard_pairs(auto_block=True)``) — linear-ish, no
+  all-pairs; the drop rule is "remove the HIGHER id of every verified
+  pair" (anti-join), deterministic and single-pass — not a transitive
+  closure (connected-component dedup needs an iterative algorithm; at
+  100 TB the pairwise rule is the standard first-line policy);
+- quality filter: pure-Catalyst integer-scaled features, no shuffle;
+- budgeting: one hash aggregate keyed by source.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import bpe_token_count, quality_features, token_count
+from .dedup import exact_dedup, ngram_jaccard_pairs
+
+
+@dataclass
+class CorpusPrepResult:
+    clean: DataFrame  # surviving documents (all input columns + dup_count)
+    stats: DataFrame  # per-source: n_docs, sum_tokens, sum_bpe
+
+
+def corpus_prep(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    near_threshold_x1000: int = 500,
+    min_tokens: int = 20,
+    min_distinct_ratio_x1000: int = 330,
+    n: int = 3,
+) -> CorpusPrepResult:
+    """Run the full corpus-prep DAG; returns the cleaned corpus and the
+    per-source token-budget statistics."""
+    # 1) exact dedup — lowest id wins, group size kept as dup_count
+    exact = exact_dedup(df, key_cols=(text_col,), order=(id_col,))
+
+    # 2) near-dup removal — LSH-banded candidates, exact Jaccard verify;
+    # drop the higher id of each qualifying pair
+    pairs = ngram_jaccard_pairs(
+        exact,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        threshold_x1000=near_threshold_x1000,
+        auto_block=True,
+    )
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    kept = exact.join(drop, id_col, "left_anti")
+
+    # 3) quality filter — integer-scaled Catalyst features, no Python
+    feats = quality_features(text_col)
+    clean = kept.filter(
+        (feats["n_tokens"] >= min_tokens)
+        & (feats["distinct_ratio_x1000"] >= min_distinct_ratio_x1000)
+    )
+
+    # 4) per-source token budget
+    stats = (
+        clean.groupBy(source_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count(text_col)).cast("long").alias("sum_tokens"),
+            F.sum(bpe_token_count(text_col)).cast("long").alias("sum_bpe"),
+        )
+    )
+    return CorpusPrepResult(clean=clean, stats=stats)

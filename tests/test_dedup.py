@@ -515,3 +515,38 @@ def test_band_joins_are_equi_joins(spark):
         assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
             "ShuffledHashJoin" in plan
         )
+
+
+def test_corpus_prep_stage_semantics(spark):
+    """corpus_prep composition: exact dup dropped (lowest id wins),
+    near-dup's HIGHER id dropped, low-quality docs filtered, budgets
+    summed per source."""
+    from s3_log_parser_spark.operators.corpus import corpus_prep
+
+    good = (
+        "the quick brown fox jumps over one lazy dog while seven other "
+        "animals watch from a distant hill and discuss the weather "
+        "patterns of early spring mornings"
+    )
+    near = good.replace("discuss", "debate").replace("seven", "nine")
+    rows = [
+        (0, "a", good),
+        (1, "a", good),            # exact dup of 0 → dropped
+        (2, "b", near),            # near dup of 0 → dropped (higher id)
+        (3, "b", "short junk"),    # fails min_tokens → dropped
+        (4, "b", good + " entirely different closing sentence appended "
+                        "with many fresh unique words about sailing boats "
+                        "across quiet northern lakes during autumn evenings "
+                        "plus extra tokens keeping jaccard low enough"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    res = corpus_prep(
+        docs, near_threshold_x1000=500, min_tokens=20,
+        min_distinct_ratio_x1000=330,
+    )
+    kept = {r["doc_id"] for r in res.clean.select("doc_id").collect()}
+    assert 0 in kept and 1 not in kept and 3 not in kept
+    assert 2 not in kept, "near-dup (higher id) must be dropped"
+    stats = {r["source"]: r for r in res.stats.collect()}
+    assert stats["a"]["n_docs"] == 1
+    assert stats["a"]["sum_tokens"] > 20
