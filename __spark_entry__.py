@@ -1554,6 +1554,42 @@ def _stream_parity(spark, sf):
 
 
 @q(
+    "session_stats",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+             THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) - 1 AS sid
+      FROM flagged
+    ), per AS (
+      SELECT user_id, sid, COUNT(*) AS n,
+             (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000 AS span_sec
+      FROM numbered GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(MAX(n) AS BIGINT) AS max_session_events,
+           CAST(SUM(span_sec) AS BIGINT) AS total_span_sec
+    FROM per GROUP BY user_id
+    """,
+)
+def _sessions(spark, sf):
+    # gap-based sessionization (>30 min silence starts a new session):
+    # one window shuffle on the session key, microsecond-exact gap
+    # compare (unix_micros ↔ epoch_us) — see operators/sessions.py
+    from s3_log_parser_spark.operators.sessions import session_stats
+
+    return session_stats(_t(spark, sf, "events"), gap_seconds=1800)
+
+
+@q(
     "corpus_prep_stats",
     f"""
     WITH dedup AS (
