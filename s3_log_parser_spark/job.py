@@ -116,6 +116,26 @@ def cmd_run(args) -> None:
     print(f"timings: { {k: round(v, 1) for k, v in res.timings.items()} }")
 
 
+def cmd_prep(args) -> None:
+    from .operators.corpus import corpus_prep
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    res = corpus_prep(
+        docs,
+        near_threshold_x1000=args.near_threshold,
+        min_tokens=args.min_tokens,
+        min_distinct_ratio_x1000=args.min_distinct_ratio,
+    )
+    res.clean.write.mode("overwrite").parquet(f"{args.output}/clean")
+    res.stats.coalesce(1).write.mode("overwrite").parquet(f"{args.output}/stats")
+    for r in res.stats.orderBy("source").collect():
+        print(
+            f"source {r['source']}: {r['n_docs']} docs, "
+            f"{r['sum_tokens']} tokens, {r['sum_bpe']} bpe units"
+        )
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="s3lp-spark")
     p.add_argument("--cores", help="local[N] cores (default: all)")
@@ -154,10 +174,18 @@ def main(argv: list[str] | None = None) -> None:
         "(reference -v, s3driver.c:56-67)",
     )
 
+    pr = sub.add_parser(
+        "prep", help="documents -> dedup + quality-filtered corpus + budgets"
+    )
+    pr.add_argument("-f", "--input", required=True)
+    pr.add_argument("-o", "--output", required=True)
+    pr.add_argument("--near-threshold", type=int, default=500)
+    pr.add_argument("--min-tokens", type=int, default=20)
+    pr.add_argument("--min-distinct-ratio", type=int, default=330)
+
     args = p.parse_args(argv)
-    {"gen": cmd_gen, "parse": cmd_parse, "extract": cmd_extract, "run": cmd_run}[
-        args.cmd
-    ](args)
+    {"gen": cmd_gen, "parse": cmd_parse, "extract": cmd_extract,
+     "run": cmd_run, "prep": cmd_prep}[args.cmd](args)
 
 
 if __name__ == "__main__":
