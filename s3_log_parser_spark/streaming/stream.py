@@ -159,3 +159,21 @@ def daily_counts_stream(slim_stream: DataFrame) -> DataFrame:
     return slim_stream.groupBy(
         F.window(F.col("ts"), "1 day").alias("day"), F.col("tool")
     ).agg(F.count("*").alias("count"))
+
+
+def session_counts_stream(
+    slim_stream: DataFrame,
+    key_col: str = "conv_id",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """streaming sessionization: per-key gap-merged session windows
+    (``F.session_window`` — the engine-native form of
+    operators/sessions.sessionize) with event count per session.
+    Boundary nuance vs the batch operator: ``session_window`` treats an
+    event at EXACTLY ``gap`` after the previous one as a new session
+    (windows are [start, last+gap)), while the batch ``sessionize``
+    keeps it (strictly-greater rule). Off-boundary streams — i.e. any
+    real timestamped data — agree exactly."""
+    return slim_stream.groupBy(
+        F.session_window(F.col("ts"), gap).alias("sess"), F.col(key_col)
+    ).agg(F.count("*").alias("n_turns"))

@@ -550,3 +550,28 @@ def test_corpus_prep_stage_semantics(spark):
     stats = {r["source"]: r for r in res.stats.collect()}
     assert stats["a"]["n_docs"] == 1
     assert stats["a"]["sum_tokens"] > 20
+
+
+def test_simhash_perrow_equals_exploded(spark):
+    """the per-row HOF simhash and the exploded simhash_df must agree
+    bit-for-bit at both geometries (both now use the universal-hash
+    bit family)."""
+    from s3_log_parser_spark.operators.dedup import simhash, simhash_df
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(80)
+    for bits in (16, 64):
+        per_row = {
+            r["doc_id"]: r["sh"]
+            for r in docs.select(
+                "doc_id", simhash("text", bits=bits).alias("sh")
+            ).collect()
+        }
+        exploded = {
+            r["id"]: r["simhash"]
+            for r in simhash_df(docs, bits=bits).collect()
+        }
+        # exploded drops zero-token docs; per-row gives them simhash 0
+        for k, v in exploded.items():
+            assert per_row[k] == v, (bits, k)

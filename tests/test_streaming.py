@@ -128,3 +128,68 @@ def test_stream_exact_dedup_unbounded_state(spark, transcripts, tmp_path_factory
         .collect()
     }
     assert key_set == batch_keys
+
+
+def test_stream_session_window_matches_batch_sessionize(spark, tmp_path_factory):
+    """the engine-native streaming session_window must produce the same
+    (key, session-size) multiset as the batch sessionize operator on
+    off-boundary data (boundary semantics documented in
+    session_counts_stream)."""
+    from datetime import datetime, timedelta
+
+    from s3_log_parser_spark.operators.sessions import sessionize
+    from s3_log_parser_spark.streaming.stream import session_counts_stream
+
+    base = datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for conv, gaps_min in {
+        "conv-a": [0, 5, 10, 90, 95],       # 2 sessions: 3 + 2 events
+        "conv-b": [0, 40, 45, 46, 200],     # 3 sessions: 1 + 3 + 1
+    }.items():
+        for g in gaps_min:
+            rows.append((conv, eid, base + timedelta(minutes=g)))
+            eid += 1
+    # a far-future sentinel advances the (global) watermark past every
+    # real session's end so append mode emits them all — the eternal
+    # gotcha of bounded session-window tests
+    rows.append(("__flush__", eid, base + timedelta(days=2)))
+    df = spark.createDataFrame(rows, "conv_id string, event_id long, ts timestamp")
+
+    src = str(tmp_path_factory.mktemp("sess_src"))
+    out = str(tmp_path_factory.mktemp("sess_out"))
+    ckpt = str(tmp_path_factory.mktemp("sess_ckpt"))
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        session_counts_stream(
+            stream.withWatermark("ts", "10 minutes"), key_col="conv_id"
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r["conv_id"], r["n_turns"])
+        for r in spark.read.parquet(out).collect()
+        if r["conv_id"] != "__flush__"
+    )
+
+    batch = sessionize(
+        df.filter("conv_id != '__flush__'"),
+        key_col="conv_id", order_cols=("ts", "event_id"), gap_seconds=1800,
+    )
+    want = sorted(
+        (r["conv_id"], r["n"])
+        for r in batch.groupBy("conv_id", "session_idx")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert got == want == [
+        ("conv-a", 2), ("conv-a", 3),
+        ("conv-b", 1), ("conv-b", 1), ("conv-b", 3),
+    ]
