@@ -238,7 +238,9 @@ def parse_text_arrow(
                     or len(v) != 6
                     or v[0] not in "+-"
                     or v[5] != "]"
-                    or not v[1:5].isdigit()
+                    # ASCII digits only: str.isdigit() accepts unicode
+                    # digits (e.g. U+0660) that python %z / java reject
+                    or not all(c in "0123456789" for c in v[1:5])
                 ):
                     return None
                 hh, mm = int(v[1:3]), int(v[3:5])
