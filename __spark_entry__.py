@@ -1554,6 +1554,37 @@ def _stream_parity(spark, sf):
 
 
 @q(
+    "latency_percentiles",
+    f"""
+    WITH ranked AS (
+      SELECT tool, download_time_ms AS v,
+             ROW_NUMBER() OVER (PARTITION BY tool ORDER BY download_time_ms)
+               AS rk,
+             COUNT(*) OVER (PARTITION BY tool) AS n
+      FROM read_parquet('{_GOLDEN_SLIM}')
+      WHERE download_time_ms IS NOT NULL
+    )
+    SELECT tool, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(CASE WHEN rk = CEIL(n * 0.5)  THEN v END) AS BIGINT) AS p500,
+           CAST(MAX(CASE WHEN rk = CEIL(n * 0.95) THEN v END) AS BIGINT) AS p950,
+           CAST(MAX(CASE WHEN rk = CEIL(n * 0.99) THEN v END) AS BIGINT) AS p990
+    FROM ranked GROUP BY tool
+    """,
+)
+def _latency_pcts(spark, sf):
+    # A5: per-tool discrete latency percentiles (value at ascending
+    # rank ceil(p·n) — explicit order-statistics definition so both
+    # engines agree exactly; approx_percentile is the scale path,
+    # sanity-pinned in tests)
+    from s3_log_parser_spark.operators.aggregate import percentiles_disc
+    from s3_log_parser_spark.plans.pipeline import build_slim
+    from s3_log_parser_spark.sources.gen import gen_transcripts
+
+    slim = build_slim(gen_transcripts(spark, rows=10_000))
+    return percentiles_disc(slim, "tool", "download_time_ms")
+
+
+@q(
     "session_stats",
     """
     WITH flagged AS (

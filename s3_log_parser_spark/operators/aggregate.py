@@ -168,3 +168,60 @@ def grouped_export_json(
         "total_groups": len(groups),
     }
     return json.dumps(doc, default=str, sort_keys=True)
+
+
+def percentiles_disc(
+    df: DataFrame,
+    key: str,
+    value: str,
+    ps_x1000: tuple[int, ...] = (500, 950, 990),
+    mode: str = "exact",
+) -> DataFrame:
+    """A5 (beyond the reference): per-key discrete percentiles of an
+    integer metric — the latency-summary aggregate every log pipeline
+    grows next after counts.
+
+    ``mode="exact"``: classic ``percentile_disc`` semantics — the value
+    at ascending rank ``ceil(p·n)`` — implemented explicitly with ONE
+    window (rank + group count share the same partitioning) so the
+    definition is engine-independent and the DuckDB oracle reproduces
+    it bit-for-bit. Exact percentiles of a group fundamentally need
+    that per-key sort; this is the verification path.
+
+    ``mode="approx"``: the 100 TB path — ``approx_percentile``
+    (t-digest-style sketch, map-side mergeable, NO per-key sort); rank
+    error is bounded by the accuracy knob, so it has no cross-engine
+    exact oracle (sanity-pinned in tests instead).
+    """
+    from pyspark.sql import Window
+
+    pcols = []
+    if mode == "approx":
+        for p in ps_x1000:
+            pcols.append(
+                F.expr(
+                    f"approx_percentile({value}, {p / 1000}, 10000)"
+                ).cast("long").alias(f"p{p}")
+            )
+        return df.filter(F.col(value).isNotNull()).groupBy(key).agg(
+            F.count("*").cast("long").alias("n"), *pcols
+        )
+    # no tie-break needed: row identity at a rank is order-dependent
+    # among equal values, but the VALUE at rank ceil(p·n) is not
+    w = Window.partitionBy(key).orderBy(F.col(value).asc())
+    wc = Window.partitionBy(key)
+    ranked = (
+        df.filter(F.col(value).isNotNull())
+        .withColumn("_rk", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(wc))
+    )
+    aggs = [F.max("_n").cast("long").alias("n")]
+    for p in ps_x1000:
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("_rk") == F.ceil(F.col("_n") * p / 1000), F.col(value)
+                )
+            ).cast("long").alias(f"p{p}")
+        )
+    return ranked.groupBy(key).agg(*aggs)

@@ -152,3 +152,27 @@ def test_router_write_strategies_equivalent(spark, transcripts, tmp_path):
         a = results["salt"].read(sink)
         b = align_schema(results["coalesce"].read(sink), a)
         assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty(), sink
+
+
+def test_percentiles_disc_exact_and_approx(spark):
+    """A5: exact mode = value at ascending rank ceil(p*n); approx mode
+    (the scale path) must land within the discrete value range."""
+    from s3_log_parser_spark.operators.aggregate import percentiles_disc
+
+    rows = [("a", v) for v in [10, 20, 30, 40, 50, 60, 70, 80, 90, 100]]
+    rows += [("b", 7), ("b", None)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    got = {r["k"]: r for r in percentiles_disc(df, "k", "v").collect()}
+    assert got["a"]["n"] == 10
+    assert got["a"]["p500"] == 50     # ceil(10*0.5) = rank 5
+    assert got["a"]["p950"] == 100    # ceil(10*0.95) = rank 10
+    assert got["a"]["p990"] == 100
+    assert got["b"]["n"] == 1 and got["b"]["p500"] == 7  # NULLs excluded
+
+    ap = {
+        r["k"]: r
+        for r in percentiles_disc(df, "k", "v", mode="approx").collect()
+    }
+    assert ap["a"]["n"] == 10
+    assert 40 <= ap["a"]["p500"] <= 60
+    assert ap["a"]["p950"] >= 90
