@@ -193,3 +193,55 @@ def test_stream_session_window_matches_batch_sessionize(spark, tmp_path_factory)
         ("conv-a", 2), ("conv-a", 3),
         ("conv-b", 1), ("conv-b", 1), ("conv-b", 3),
     ]
+
+
+def test_stream_exact_dedup_resumes_from_checkpoint(spark, tmp_path_factory):
+    """the unbounded-state dedup must recover its seen-keys state from
+    the checkpoint: keys emitted before a restart are NOT re-emitted
+    when the same key arrives in post-restart data."""
+    from s3_log_parser_spark.plans.pipeline import build_slim
+    from s3_log_parser_spark.sources.gen import gen_transcripts
+    from s3_log_parser_spark.streaming.stream import (
+        build_slim_stream,
+        unique_starts_stream_exact,
+    )
+
+    src = str(tmp_path_factory.mktemp("resume_src"))
+    out = str(tmp_path_factory.mktemp("resume_out"))
+    ckpt = str(tmp_path_factory.mktemp("resume_ckpt"))
+    full = gen_transcripts(spark, rows=2000).cache()
+    half_a = full.filter("turn_idx % 2 = 0")
+    half_b = full.filter("turn_idx % 2 = 1")
+    half_a.write.mode("overwrite").parquet(f"{src}/a")
+
+    def run_once():
+        stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(f"{src}/*")
+        q = (
+            unique_starts_stream_exact(build_slim_stream(stream))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()  # first run: half A only
+    half_b.write.mode("overwrite").parquet(f"{src}/b")
+    run_once()  # restart: half B arrives, state must carry over
+
+    keys = [
+        (r["ip_hash"], r["key_hash"])
+        for r in spark.read.parquet(out).select("ip_hash", "key_hash").collect()
+    ]
+    assert len(keys) == len(set(keys)), "restart re-emitted an already-seen key"
+    batch_keys = {
+        (r["ip_hash"], r["key_hash"])
+        for r in build_slim(full)
+        .filter(F.col("flags").bitwiseAND(F.lit(1)) == 1)
+        .select("ip_hash", "key_hash")
+        .collect()
+    }
+    assert set(keys) == batch_keys
+    full.unpersist()
