@@ -1554,6 +1554,41 @@ def _stream_parity(spark, sf):
 
 
 @q(
+    "key_skew_profile",
+    f"""
+    WITH counts AS (
+      SELECT conv_hash AS k, COUNT(*) AS c
+      FROM read_parquet('{_GOLDEN_SLIM}') GROUP BY conv_hash
+    ), ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rk,
+             COUNT(*) OVER () AS n
+      FROM counts
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_keys,
+           CAST(SUM(c) AS BIGINT) AS total_rows,
+           CAST(MAX(c) AS BIGINT) AS max_count,
+           CAST(MAX(CASE WHEN rk = CEIL(n * 0.5)  THEN c END) AS BIGINT)
+             AS p50_count,
+           CAST(MAX(CASE WHEN rk = CEIL(n * 0.99) THEN c END) AS BIGINT)
+             AS p99_count,
+           CAST(FLOOR(MAX(c) * 1000.0 / SUM(c)) AS BIGINT)
+             AS top1_share_x1000
+    FROM ranked
+    """,
+)
+def _skew_profile(spark, sf):
+    # skew diagnostics on the conversation key — the generator plants a
+    # hot conv-0 (~10% of rows), so top1_share_x1000 exposes exactly
+    # the skew the pipeline's salting/AQE handling exists for
+    from s3_log_parser_spark.operators.aggregate import profile_key_skew
+    from s3_log_parser_spark.plans.pipeline import build_slim
+    from s3_log_parser_spark.sources.gen import gen_transcripts
+
+    slim = build_slim(gen_transcripts(spark, rows=10_000))
+    return profile_key_skew(slim, "conv_hash")
+
+
+@q(
     "latency_percentiles",
     f"""
     WITH ranked AS (

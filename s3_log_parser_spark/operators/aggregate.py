@@ -225,3 +225,52 @@ def percentiles_disc(
             ).cast("long").alias(f"p{p}")
         )
     return ranked.groupBy(key).agg(*aggs)
+
+
+def profile_key_skew(
+    df: DataFrame,
+    key: str | Column,
+    mode: str = "exact",
+) -> DataFrame:
+    """Skew diagnostics for a prospective join/aggregation key — the
+    question every 100 TB plan review asks first ("does this key need
+    salting?") as one tiny summary row: distinct keys, total rows,
+    the max group, discrete p50/p99 group sizes, and the hot key's
+    row share (×1000).
+
+    ``mode="exact"``: per-key counts (map-side combined) then discrete
+    percentiles over the counts via a GLOBAL rank — one ordered pass
+    over one row per key. That single-partition sort is the honest
+    exact path and is fine up to ~10^8 keys; ``mode="approx"`` swaps
+    the rank for mergeable ``approx_percentile`` (no global sort) for
+    corpora where the KEY space itself is huge.
+    """
+    from pyspark.sql import Window
+
+    keyc = F.col(key) if isinstance(key, str) else key
+    counts = df.groupBy(keyc.alias("_k")).agg(F.count("*").alias("_c"))
+    if mode == "approx":
+        return counts.agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum("_c").cast("long").alias("total_rows"),
+            F.max("_c").cast("long").alias("max_count"),
+            F.expr("approx_percentile(_c, 0.5, 10000)").cast("long").alias("p50_count"),
+            F.expr("approx_percentile(_c, 0.99, 10000)").cast("long").alias("p99_count"),
+            F.floor(F.max("_c") * 1000 / F.sum("_c")).cast("long").alias("top1_share_x1000"),
+        )
+    w = Window.orderBy(F.col("_c").asc())
+    ranked = counts.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_n", F.count("*").over(Window.partitionBy())
+    )
+    return ranked.agg(
+        F.max("_n").cast("long").alias("n_keys"),
+        F.sum("_c").cast("long").alias("total_rows"),
+        F.max("_c").cast("long").alias("max_count"),
+        F.max(
+            F.when(F.col("_rk") == F.ceil(F.col("_n") * 0.5), F.col("_c"))
+        ).cast("long").alias("p50_count"),
+        F.max(
+            F.when(F.col("_rk") == F.ceil(F.col("_n") * 0.99), F.col("_c"))
+        ).cast("long").alias("p99_count"),
+        F.floor(F.max("_c") * 1000 / F.sum("_c")).cast("long").alias("top1_share_x1000"),
+    )

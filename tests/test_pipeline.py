@@ -176,3 +176,24 @@ def test_percentiles_disc_exact_and_approx(spark):
     assert ap["a"]["n"] == 10
     assert 40 <= ap["a"]["p500"] <= 60
     assert ap["a"]["p950"] >= 90
+
+
+def test_profile_key_skew_modes(spark):
+    """skew profiler: exact stats on a planted hot key; approx mode
+    (mergeable, no global sort) lands within sketch error."""
+    from s3_log_parser_spark.operators.aggregate import profile_key_skew
+
+    rows = [("hot", i) for i in range(90)] + [
+        (f"k{i}", i) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "k string, v int")
+    r = profile_key_skew(df, "k").collect()[0]
+    assert r["n_keys"] == 11
+    assert r["total_rows"] == 100
+    assert r["max_count"] == 90
+    assert r["p50_count"] == 1      # rank ceil(11*0.5)=6 of [1×10, 90]
+    assert r["p99_count"] == 90     # rank ceil(11*0.99)=11
+    assert r["top1_share_x1000"] == 900
+    a = profile_key_skew(df, "k", mode="approx").collect()[0]
+    assert a["n_keys"] == 11 and a["max_count"] == 90
+    assert a["p50_count"] == 1
