@@ -1041,6 +1041,54 @@ def _knn(spark, sf):
     return out.select("q_id", F.col("rank").cast("long").alias("rank"), "c_id", "cosine_x1m")
 
 
+_QUANT_CTE = """
+    WITH mxs AS (
+      SELECT vec_id, embedding,
+             list_reduce(
+               list_prepend(0.0::DOUBLE,
+                 list_transform(embedding, x -> abs(x::DOUBLE))),
+               (a, x) -> greatest(a, x)) AS mx
+      FROM embeddings
+    ), qv AS (
+      SELECT vec_id,
+        CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0::BIGINT)
+             ELSE list_transform(embedding,
+                    x -> CAST(floor(x::DOUBLE / (mx / 127.0) + 0.5) AS BIGINT))
+        END AS q
+      FROM mxs
+    )
+"""
+
+
+@q(
+    "knn_quantized_topk",
+    _QUANT_CTE
+    + f"""
+    SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, cosine_x1m FROM (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             {_cos_x1m_sql('q.q', 'c.q')} AS cosine_x1m,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_cos_x1m_sql('q.q', 'c.q')} DESC,
+                        c.vec_id ASC) AS rank
+      FROM qv q JOIN qv c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 5)
+    WHERE rank <= 5
+    """,
+)
+def _knn_quant(spark, sf):
+    # int8-quantized top-k: 4× smaller corpus, exact integer dot
+    # products; quantization (floor-half-up, fold-left max) reproduced
+    # bit-for-bit by the oracle
+    from s3_log_parser_spark.operators.similarity import cosine_topk_quantized
+
+    emb = _t(spark, sf, "embeddings")
+    out = cosine_topk_quantized(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    return out.select(
+        "q_id", F.col("rank").cast("long").alias("rank"), "c_id", "cosine_x1m"
+    )
+
+
 @q(
     "ann_lsh_buckets",
     f"""

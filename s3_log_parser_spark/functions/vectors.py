@@ -144,3 +144,35 @@ def hyperplane_bits(vec: Column, n_planes: int, dim: int) -> Column:
     for b in bits[1:]:
         bucket = bucket + b
     return bucket.cast("int")
+
+
+def quantize_vec(col: Column | str, bits: int = 8) -> tuple[Column, Column]:
+    """symmetric per-vector scalar quantization → (q, scale):
+    ``q_i = floor(v_i/scale + 0.5)`` with ``scale = max|v|/(2^(bits-1)-1)``.
+
+    Cross-engine exact: max/divide/floor are IEEE-deterministic and the
+    explicit floor-half-up avoids engine-specific ROUND modes. The
+    quantized values feed integer dot products (exact arithmetic), so
+    quantized cosine needs no float summation at all until the final
+    normalization. Catalyst note: the scale is threaded into the
+    per-element lambda via ``zip_with(v, array_repeat(scale, d), …)`` —
+    referencing a computed scalar directly inside a ``transform``
+    lambda re-inlines (and re-evaluates) the whole max-aggregate per
+    element (the dedup._sliding_zip trap, scalar edition).
+
+    Zero vectors quantize to all-zero with scale 0.
+    """
+    qmax = (1 << (bits - 1)) - 1
+    v = as_double(col)
+    mx = F.aggregate(v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
+    scale = mx / F.lit(float(qmax))
+    q = F.when(
+        mx == 0.0, F.transform(v, lambda x: F.lit(0).cast("long"))
+    ).otherwise(
+        F.zip_with(
+            v,
+            F.array_repeat(scale, F.size(v)),
+            lambda x, s: F.floor(x / s + F.lit(0.5)).cast("long"),
+        )
+    )
+    return q, scale

@@ -268,3 +268,27 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "c_id", "cosine_x1m")
     )
+
+
+def cosine_topk_quantized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bits: int = 8,
+) -> DataFrame:
+    """top-k by cosine over int8-quantized vectors — the storage/compute
+    trade every large ANN deployment makes: per-vector symmetric scalar
+    quantization (functions/vectors.quantize_vec) shrinks the corpus 4×
+    (float32 → int8) and the pairwise dot products become exact integer
+    arithmetic. Cosine is scale-invariant, so the per-vector scale
+    cancels and never needs to be joined back. Ranking quality vs the
+    float path is recall-pinned in tests."""
+    from ..functions.vectors import quantize_vec
+
+    def qz(df: DataFrame) -> DataFrame:
+        q, _ = quantize_vec(F.col(vec_col), bits)
+        return df.select(F.col(id_col), q.alias(vec_col))
+
+    return cosine_topk(qz(corpus), qz(queries), id_col, vec_col, k)

@@ -164,3 +164,40 @@ def test_ivf_corpus_assignment_has_no_window(spark):
     keys = re.findall(r"windowspecdefinition\((\w+)", plan)
     assert keys and all(k == "q_id" for k in keys), keys
     assert "max_by" in plan
+
+
+def test_quantized_topk_recall_vs_float(spark):
+    """int8 quantized top-k must recover >=90% of the float top-5 per
+    query on the fixture corpus (standard scalar-quantization trade)."""
+    from s3_log_parser_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_quantized,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 20")
+    exact = {}
+    for r in cosine_topk(emb, q, k=5).collect():
+        exact.setdefault(r["q_id"], set()).add(r["c_id"])
+    quant = {}
+    for r in cosine_topk_quantized(emb, q, k=5).collect():
+        quant.setdefault(r["q_id"], set()).add(r["c_id"])
+    hits = sum(len(exact[k] & quant.get(k, set())) for k in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.9, (hits, total)
+
+
+def test_quantize_vec_values(spark):
+    """quantization semantics: symmetric scale, floor-half-up, zero
+    vector -> all zero."""
+    from s3_log_parser_spark.functions.vectors import quantize_vec
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    q, s = quantize_vec("embedding")
+    got = {r["vec_id"]: (r["q"], r["s"]) for r in df.select("vec_id", q.alias("q"), s.alias("s")).collect()}
+    assert got[1][0] == [127, -63, 32, 0]  # -63.5 floors half-UP to -63
+    assert abs(got[1][1] - 1.0 / 127) < 1e-12
+    assert got[2][0] == [0, 0, 0, 0] and got[2][1] == 0.0
