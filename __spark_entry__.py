@@ -1602,6 +1602,80 @@ def _stream_parity(spark, sf):
 
 
 @q(
+    "incremental_dedup_stats",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, text, {_toks_sql('text')} AS tk FROM documents
+    ), tkh AS (
+      SELECT doc_id, text, tk,
+             list_transform(tk, t -> {_djb2_sql('t')}) AS th,
+             len(tk) AS ntk
+      FROM toks
+    ), shc AS (
+      SELECT doc_id, text,
+        list_distinct(
+          CASE WHEN ntk >= 3
+               THEN list_transform(generate_series(1, ntk - 2),
+                      i -> list_reduce(
+                             list_prepend(5381::BIGINT, th[i:i+2]),
+                             {_DJB2_FOLD}))
+               ELSE [list_reduce(list_prepend(5381::BIGINT, th),
+                                 {_DJB2_FOLD})] END) AS hs
+      FROM tkh
+    ), mh AS (
+      SELECT doc_id, {_minhash_cols_sql(8)} FROM shc
+    ), hist_dig AS (
+      SELECT DISTINCT md5(lower(trim(text))) AS dig
+      FROM documents WHERE doc_id < 250
+    ), surv1 AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id >= 250
+        AND md5(lower(trim(text))) NOT IN (SELECT dig FROM hist_dig)
+    ), cand AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS seen_id
+      FROM mh a JOIN mh b
+        ON a.doc_id IN (SELECT doc_id FROM surv1)
+       AND b.doc_id < 250
+       AND ((a.mh_0 = b.mh_0 AND a.mh_1 = b.mh_1)
+         OR (a.mh_2 = b.mh_2 AND a.mh_3 = b.mh_3)
+         OR (a.mh_4 = b.mh_4 AND a.mh_5 = b.mh_5)
+         OR (a.mh_6 = b.mh_6 AND a.mh_7 = b.mh_7))
+    ), dup AS (
+      SELECT DISTINCT c.new_id FROM cand c
+      JOIN shc x ON x.doc_id = c.new_id
+      JOIN shc y ON y.doc_id = c.seen_id
+      WHERE FLOOR(len(list_intersect(x.hs, y.hs)) * 1000.0
+                  / len(list_distinct(x.hs || y.hs))) >= 500
+    ), surv AS (
+      SELECT doc_id FROM surv1
+      WHERE doc_id NOT IN (SELECT new_id FROM dup)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id >= 250)
+                AS BIGINT) AS n_new,
+           CAST(COUNT(*) AS BIGINT) AS n_survive,
+           CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS sum_ids
+    FROM surv
+    """,
+)
+def _inc_dedup(spark, sf):
+    # daily-ingestion dedup: the new batch (doc_id >= 250) against the
+    # accepted history (doc_id < 250) — exact digest anti-join, then
+    # MinHash band join new×history + exact Jaccard verify
+    from s3_log_parser_spark.operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf, "documents")
+    hist = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    out = incremental_dedup(new, hist, threshold_x1000=500)
+    return new.agg(F.count("*").alias("n_new")).crossJoin(
+        out.agg(
+            F.count("*").alias("n_survive"),
+            F.coalesce(F.sum("doc_id"), F.lit(0)).cast("long").alias("sum_ids"),
+        )
+    )
+
+
+@q(
     "key_skew_profile",
     f"""
     WITH counts AS (

@@ -205,19 +205,11 @@ def minhash_signatures_df(
     return hs.groupBy("id").agg(*aggs)
 
 
-def minhash_candidates(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    k: int = 8,
-    rows_per_band: int = 2,
-    mode: str = "djb2",
+def _minhash_bands(
+    sdf: DataFrame, k: int = 8, rows_per_band: int = 2
 ) -> DataFrame:
-    """LSH banding: docs sharing any band signature become candidate
-    pairs (id_a < id_b). Returns distinct pairs. ``mode`` selects the
-    shingle hash family (see :func:`shingle_hashes`)."""
-    sdf = minhash_signatures_df(df, id_col, text_col, n, k, mode)
+    """explode a (id, mh_0..mh_{k-1}) signature frame into one row per
+    LSH band: (id, bs=(band_idx, sig tuple))."""
     bands = []
     for b in range(k // rows_per_band):
         cols = [
@@ -232,7 +224,23 @@ def minhash_candidates(
         bands.append(
             F.struct(F.lit(b).alias("band"), F.struct(*cols).alias("sig"))
         )
-    exploded = sdf.select("id", F.explode(F.array(*bands)).alias("bs"))
+    return sdf.select("id", F.explode(F.array(*bands)).alias("bs"))
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 8,
+    rows_per_band: int = 2,
+    mode: str = "djb2",
+) -> DataFrame:
+    """LSH banding: docs sharing any band signature become candidate
+    pairs (id_a < id_b). Returns distinct pairs. ``mode`` selects the
+    shingle hash family (see :func:`shingle_hashes`)."""
+    sdf = minhash_signatures_df(df, id_col, text_col, n, k, mode)
+    exploded = _minhash_bands(sdf, k, rows_per_band)
     a, bdf = exploded.alias("a"), exploded.alias("b")
     pairs = (
         a.join(
@@ -793,3 +801,79 @@ def embedding_near_dups_bucketed(
         )
         .filter(F.col("cosine_x1m") >= threshold_x1m)
     )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    near: bool = True,
+    threshold_x1000: int = 500,
+    n: int = 3,
+    k: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Dedup a NEW ingestion batch against the HISTORICAL corpus — the
+    daily-pipeline shape (the self-join operators above dedup within
+    one corpus; real ingestion dedups each increment against everything
+    already accepted).
+
+    1. exact: anti-join on the canonical text digest — a new doc whose
+       normalized text already exists in history is dropped. Hash join
+       on the digest; at scale the history side is a (digest) index
+       table, not the raw corpus.
+    2. near (``near=True``): MinHash band signatures of BOTH sides,
+       equi-join on (band, sig) → candidate (new, seen) pairs → exact
+       Jaccard verify ≥ ``threshold_x1000`` → drop those new docs.
+       Same banding family as :func:`minhash_candidates`, but
+       new × history instead of self-join — cost scales with the NEW
+       batch, not the history (history's signatures are amortized: at
+       scale they live in a persisted signature table).
+
+    Returns the surviving rows of ``new_df`` (all columns).
+    Within-batch duplicates are NOT removed here — run
+    :func:`exact_dedup` / `corpus_prep` on the batch first.
+    """
+    digest = F.md5(F.lower(F.trim(F.col(text_col))))
+    seen_keys = seen_df.select(digest.alias("_dig")).distinct()
+    survivors = (
+        new_df.withColumn("_dig", digest)
+        .join(seen_keys, "_dig", "left_anti")
+        .drop("_dig")
+    )
+    if not near:
+        return survivors
+    new_bands = _minhash_bands(
+        minhash_signatures_df(survivors, id_col, text_col, n, k),
+        k, rows_per_band,
+    )
+    seen_bands = _minhash_bands(
+        minhash_signatures_df(seen_df, id_col, text_col, n, k),
+        k, rows_per_band,
+    )
+    cand = (
+        new_bands.alias("a")
+        .join(seen_bands.alias("b"), F.col("a.bs") == F.col("b.bs"))
+        .select(F.col("a.id").alias("new_id"), F.col("b.id").alias("seen_id"))
+        .distinct()
+    )
+    nh = survivors.select(
+        F.col(id_col).alias("new_id"), shingle_hashes(text_col, n).alias("_sh_a")
+    ).withColumn("_sz_a", F.size("_sh_a"))
+    sh = seen_df.select(
+        F.col(id_col).alias("seen_id"), shingle_hashes(text_col, n).alias("_sh_b")
+    ).withColumn("_sz_b", F.size("_sh_b"))
+    dup_new = (
+        cand.join(nh, "new_id")
+        .join(sh, "seen_id")
+        .filter(
+            jaccard_x1000(
+                F.col("_sh_a"), F.col("_sh_b"), F.col("_sz_a"), F.col("_sz_b")
+            )
+            >= threshold_x1000
+        )
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return survivors.join(dup_new, id_col, "left_anti")

@@ -575,3 +575,37 @@ def test_simhash_perrow_equals_exploded(spark):
         # exploded drops zero-token docs; per-row gives them simhash 0
         for k, v in exploded.items():
             assert per_row[k] == v, (bits, k)
+
+
+def test_incremental_dedup_semantics(spark):
+    """ingestion-batch dedup vs history: exact text match dropped,
+    near-dup of a historical doc dropped, genuinely new doc kept;
+    near=False keeps near-dups."""
+    from s3_log_parser_spark.operators.dedup import incremental_dedup
+
+    hist_text = (
+        "the quick brown fox jumps over one lazy dog while seven other "
+        "animals watch from a distant hill"
+    )
+    hist = spark.createDataFrame(
+        [(0, hist_text)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (100, hist_text),                                  # exact dup
+            (101, hist_text.replace("seven", "nine")),         # near dup
+            (102, "totally fresh content about sailing boats "
+                  "across quiet northern lakes during autumn"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in incremental_dedup(new, hist, threshold_x1000=500).collect()
+    }
+    assert kept == {102}
+    kept_exact_only = {
+        r["doc_id"]
+        for r in incremental_dedup(new, hist, near=False).collect()
+    }
+    assert kept_exact_only == {101, 102}
