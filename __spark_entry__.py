@@ -1602,6 +1602,50 @@ def _stream_parity(spark, sf):
 
 
 @q(
+    "decontamination_hits",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_toks_sql('text')} AS tk FROM documents
+    ), tkh AS (
+      SELECT doc_id, list_transform(tk, t -> {_djb2_sql('t')}) AS th,
+             len(tk) AS ntk
+      FROM toks
+    ), sh8 AS (
+      SELECT doc_id,
+        list_distinct(
+          CASE WHEN ntk >= 8
+               THEN list_transform(generate_series(1, ntk - 7),
+                      i -> list_reduce(
+                             list_prepend(5381::BIGINT, th[i:i+7]),
+                             {_DJB2_FOLD}))
+               ELSE [list_reduce(list_prepend(5381::BIGINT, th),
+                                 {_DJB2_FOLD})] END) AS hs
+      FROM tkh
+    ), bench AS (
+      SELECT DISTINCT unnest(hs) AS h FROM sh8 WHERE doc_id < 50
+    ), post AS (
+      SELECT doc_id, unnest(hs) AS h FROM sh8 WHERE doc_id >= 50
+    )
+    SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM post p JOIN bench b ON p.h = b.h
+    GROUP BY p.doc_id
+    """,
+)
+def _decontam(spark, sf):
+    # benchmark decontamination: 8-gram collisions between the corpus
+    # (doc_id >= 50) and the "eval set" (doc_id < 50); benchmark
+    # shingle set broadcast, corpus never shuffles
+    from s3_log_parser_spark.operators.decontam import contamination_hits
+
+    docs = _t(spark, sf, "documents")
+    return contamination_hits(
+        docs.filter(F.col("doc_id") >= 50),
+        docs.filter(F.col("doc_id") < 50),
+        n=8,
+    )
+
+
+@q(
     "incremental_dedup_stats",
     f"""
     WITH toks AS (

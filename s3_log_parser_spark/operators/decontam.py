@@ -1,0 +1,64 @@
+"""Benchmark decontamination — flag/remove training documents that
+overlap an evaluation set.
+
+The standard policy (n-gram collision, n ≈ 8–13 tokens): a training
+doc is contaminated if it shares any word n-gram with any benchmark
+document. Shingle hashing reuses the dedup kernel
+(:func:`..operators.dedup.shingle_hashes` — DJB2 fold over token
+digests, cross-engine exact).
+
+Scale shape: the BENCHMARK side is small by nature (eval sets are
+thousands of docs), so its distinct shingle-hash set is broadcast and
+the corpus-side join is a broadcast hash join — the 100 TB corpus
+never shuffles; cost is one scan + per-row array explode. n_hits
+counts DISTINCT shared shingles (doc shingle sets are distinct by
+construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingle_hashes
+
+
+def contamination_hits(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """per-doc count of distinct word n-grams shared with the benchmark
+    set — (id, n_hits), only docs with ≥1 hit."""
+    bench = (
+        benchmark.select(F.explode(shingle_hashes(text_col, n)).alias("h"))
+        .distinct()
+    )
+    post = docs.select(
+        F.col(id_col), F.explode(shingle_hashes(text_col, n)).alias("h")
+    )
+    return (
+        post.join(F.broadcast(bench), "h")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    max_hits: int = 0,
+) -> DataFrame:
+    """drop docs sharing more than ``max_hits`` n-grams with the
+    benchmark (default: any overlap)."""
+    flagged = (
+        contamination_hits(docs, benchmark, id_col, text_col, n)
+        .filter(F.col("n_hits") > max_hits)
+        .select(id_col)
+    )
+    return docs.join(flagged, id_col, "left_anti")

@@ -609,3 +609,39 @@ def test_incremental_dedup_semantics(spark):
         for r in incremental_dedup(new, hist, near=False).collect()
     }
     assert kept_exact_only == {101, 102}
+
+
+def test_decontamination(spark):
+    """n-gram contamination: doc containing a benchmark 5-gram is
+    flagged and removed; clean docs survive; broadcast join plan."""
+    from s3_log_parser_spark.operators.decontam import (
+        contamination_hits,
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(0, "what is the capital city of france and why")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, "according to sources what is the capital city of "
+                 "france and why it matters for trade"),  # contains 5-grams
+            (11, "completely unrelated content about mountain hiking "
+                 "trails in early winter conditions"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = {
+        r["doc_id"]: r["n_hits"]
+        for r in contamination_hits(docs, bench, n=5).collect()
+    }
+    assert 10 in hits and hits[10] >= 1
+    assert 11 not in hits
+    kept = {r["doc_id"] for r in decontaminate(docs, bench, n=5).collect()}
+    assert kept == {11}
+    plan = (
+        contamination_hits(docs, bench, n=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan  # corpus side never shuffles
