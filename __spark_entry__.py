@@ -1602,6 +1602,44 @@ def _stream_parity(spark, sf):
 
 
 @q(
+    "text_repetition",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_toks_sql('text')} AS tk FROM documents
+    ), tkh AS (
+      SELECT doc_id, list_transform(tk, t -> {_djb2_sql('t')}) AS th,
+             len(tk) AS ntk
+      FROM toks
+    ), r AS (
+      SELECT doc_id, ntk,
+        greatest(ntk - 2, 1) AS total,
+        len(list_distinct(
+          CASE WHEN ntk >= 3
+               THEN list_transform(generate_series(1, ntk - 2),
+                      i -> list_reduce(
+                             list_prepend(5381::BIGINT, th[i:i+2]),
+                             {_DJB2_FOLD}))
+               ELSE [list_reduce(list_prepend(5381::BIGINT, th),
+                                 {_DJB2_FOLD})] END)) AS dst
+      FROM tkh
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN ntk < 3 THEN 0
+                ELSE FLOOR((total - dst) * 1000.0 / total) END AS BIGINT)
+             AS rep_x1000
+    FROM r
+    """,
+)
+def _trep(spark, sf):
+    # intra-doc 3-gram repetition (templated/looping text scores high)
+    from s3_log_parser_spark.functions.text import repetition_x1000
+
+    return _t(spark, sf, "documents").select(
+        "doc_id", repetition_x1000("text").alias("rep_x1000")
+    )
+
+
+@q(
     "decontamination_hits",
     f"""
     WITH toks AS (

@@ -112,3 +112,48 @@ def fingerprint(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     canon = F.array_join(F.array_sort(F.array_distinct(tokens(c))), " ")
     return djb2_expr(canon)
+
+
+def repetition_x1000(col: Column | str, n: int = 3) -> Column:
+    """intra-document n-gram repetition ∈ [0, 1000]: the fraction of
+    word n-gram OCCURRENCES that are repeats of an earlier n-gram in
+    the same doc (templated/looping text scores high — the standard
+    "repetitious document" quality signal). Integer-scaled and floored,
+    pure Catalyst; rows with < n tokens score 0."""
+    from ..operators.dedup import shingle_hashes
+
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.greatest(F.size(tokens(c)) - (n - 1), F.lit(1))
+    distinct = F.size(shingle_hashes(c, n))
+    return F.when(F.size(tokens(c)) < n, F.lit(0)).otherwise(
+        F.floor((total - distinct) * 1000 / total)
+    ).cast("long")
+
+
+# simple, cross-dialect (java regex == RE2) PII patterns — detection
+# counts and redaction for training-data hygiene. Deliberately narrow:
+# high-precision patterns only (an email-shaped token, an intl-ish
+# phone run); recall-heavy PII systems are model-based and out of scope.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+[0-9][0-9 ()-]{7,}[0-9]",
+}
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """per-kind PII match counts (0 when absent)."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    return {
+        kind: F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).cast("long")
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def pii_redact(col: Column | str) -> Column:
+    """replace each PII match with '<{KIND}>' (deterministic order:
+    email first so phone digits inside an address never re-match)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = c
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out

@@ -106,3 +106,43 @@ def test_bpe_real_merge_loop(spark):
         .collect()
     }
     assert got == want
+
+
+def test_repetition_x1000(spark):
+    from s3_log_parser_spark.functions.text import repetition_x1000
+
+    rows = [
+        (1, "a b c a b c a b c"),      # 7 trigrams, 3 distinct → 571
+        (2, "one two three four five"),  # all distinct → 0
+        (3, "a b"),                      # < n tokens → 0
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {r["id"]: r["r"] for r in df.select(
+        "id", repetition_x1000("t").alias("r")).collect()}
+    assert got[1] == 571  # floor(4/7*1000)
+    assert got[2] == 0 and got[3] == 0 and got[4] == 0
+
+
+def test_pii_counts_and_redact(spark):
+    from s3_log_parser_spark.functions.text import pii_counts, pii_redact
+
+    rows = [
+        (1, "contact me at jane.doe@example.com or +1 (555) 123-4567 ok"),
+        (2, "no pii here at all"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    c = pii_counts("t")
+    got = {
+        r["id"]: (r["e"], r["p"], r["red"])
+        for r in df.select(
+            "id", c["email"].alias("e"), c["phone"].alias("p"),
+            pii_redact("t").alias("red"),
+        ).collect()
+    }
+    assert got[1][0] == 1 and got[1][1] == 1
+    assert "<EMAIL>" in got[1][2] and "<PHONE>" in got[1][2]
+    assert "example.com" not in got[1][2] and "555" not in got[1][2]
+    assert got[2] == (0, 0, "no pii here at all")
+    assert got[3][0] == 0 and got[3][2] is None
