@@ -121,6 +121,22 @@ def cmd_prep(args) -> None:
 
     spark = _spark(args)
     docs = spark.read.parquet(args.input)
+    if args.history:
+        # ingestion-mode: dedup the batch against everything already
+        # accepted before in-batch prep
+        from .operators.dedup import incremental_dedup
+
+        hist = spark.read.parquet(args.history)
+        n0 = docs.count()
+        docs = incremental_dedup(docs, hist, threshold_x1000=args.near_threshold)
+        print(f"history dedup: {n0} -> {docs.count()} docs")
+    if args.benchmark:
+        from .operators.decontam import decontaminate
+
+        bench = spark.read.parquet(args.benchmark)
+        n0 = docs.count()
+        docs = decontaminate(docs, bench, n=args.decontam_n)
+        print(f"decontamination: {n0} -> {docs.count()} docs")
     res = corpus_prep(
         docs,
         near_threshold_x1000=args.near_threshold,
@@ -182,6 +198,11 @@ def main(argv: list[str] | None = None) -> None:
     pr.add_argument("--near-threshold", type=int, default=500)
     pr.add_argument("--min-tokens", type=int, default=20)
     pr.add_argument("--min-distinct-ratio", type=int, default=330)
+    pr.add_argument("--history", help="parquet of already-accepted docs "
+                    "(incremental dedup against it first)")
+    pr.add_argument("--benchmark", help="parquet of eval docs "
+                    "(n-gram decontamination)")
+    pr.add_argument("--decontam-n", type=int, default=13)
 
     args = p.parse_args(argv)
     {"gen": cmd_gen, "parse": cmd_parse, "extract": cmd_extract,
