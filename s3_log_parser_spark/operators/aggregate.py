@@ -207,7 +207,11 @@ def percentiles_disc(
             F.count("*").cast("long").alias("n"), *pcols
         )
     # no tie-break needed: row identity at a rank is order-dependent
-    # among equal values, but the VALUE at rank ceil(p·n) is not
+    # among equal values, but the VALUE at rank ceil(p·n) is not.
+    # rank arithmetic is the integer-product form CEIL((n*p)/1000.0) in
+    # BOTH engines (the oracle emits the identical expression), so
+    # cross-engine parity is structural, not empirical (ADVICE r4:
+    # ceil(n*0.99)-style double literals agreed up to n=2e6 by luck)
     w = Window.partitionBy(key).orderBy(F.col(value).asc())
     wc = Window.partitionBy(key)
     ranked = (
@@ -266,11 +270,12 @@ def profile_key_skew(
         F.max("_n").cast("long").alias("n_keys"),
         F.sum("_c").cast("long").alias("total_rows"),
         F.max("_c").cast("long").alias("max_count"),
+        # same integer-product rank form as percentiles_disc (see there)
         F.max(
-            F.when(F.col("_rk") == F.ceil(F.col("_n") * 0.5), F.col("_c"))
+            F.when(F.col("_rk") == F.ceil(F.col("_n") * 500 / 1000), F.col("_c"))
         ).cast("long").alias("p50_count"),
         F.max(
-            F.when(F.col("_rk") == F.ceil(F.col("_n") * 0.99), F.col("_c"))
+            F.when(F.col("_rk") == F.ceil(F.col("_n") * 990 / 1000), F.col("_c"))
         ).cast("long").alias("p99_count"),
         F.floor(F.max("_c") * 1000 / F.sum("_c")).cast("long").alias("top1_share_x1000"),
     )
