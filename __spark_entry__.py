@@ -1683,9 +1683,10 @@ def _decontam(spark, sf):
     )
 
 
-@q(
-    "incremental_dedup_stats",
-    f"""
+# shared by incremental_dedup_stats (inline history derivation) and
+# incremental_dedup_indexed (persisted DedupIndex path) — the operator
+# contract is identical, only where the history state comes from differs
+_INC_DEDUP_SQL = f"""
     WITH toks AS (
       SELECT doc_id, text, {_toks_sql('text')} AS tk FROM documents
     ), tkh AS (
@@ -1737,8 +1738,10 @@ def _decontam(spark, sf):
            CAST(COUNT(*) AS BIGINT) AS n_survive,
            CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS sum_ids
     FROM surv
-    """,
-)
+    """
+
+
+@q("incremental_dedup_stats", _INC_DEDUP_SQL)
 def _inc_dedup(spark, sf):
     # daily-ingestion dedup: the new batch (doc_id >= 250) against the
     # accepted history (doc_id < 250) — exact digest anti-join, then
@@ -1755,6 +1758,47 @@ def _inc_dedup(spark, sf):
             F.coalesce(F.sum("doc_id"), F.lit(0)).cast("long").alias("sum_ids"),
         )
     )
+
+
+@q("incremental_dedup_indexed", _INC_DEDUP_SQL)
+def _inc_dedup_idx(spark, sf):
+    # same ingestion contract, but the history side comes from a
+    # PERSISTED DedupIndex (digests/signatures/shingles parquet tables
+    # written once, read back) — the 100 TB shape where per-batch cost
+    # never re-derives history state (VERDICT r4 next #2); results must
+    # equal the inline-derivation query bit-for-bit
+    import shutil
+    import tempfile
+
+    from s3_log_parser_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup,
+        read_dedup_index,
+        write_dedup_index,
+    )
+
+    docs = _t(spark, sf, "documents")
+    hist = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    root = tempfile.mkdtemp(prefix="dedup_index_")
+    try:
+        write_dedup_index(build_dedup_index(hist), root)
+        idx = read_dedup_index(spark, root)
+        out = incremental_dedup(new, index=idx, threshold_x1000=500)
+        return (
+            new.agg(F.count("*").alias("n_new"))
+            .crossJoin(
+                out.agg(
+                    F.count("*").alias("n_survive"),
+                    F.coalesce(F.sum("doc_id"), F.lit(0))
+                    .cast("long")
+                    .alias("sum_ids"),
+                )
+            )
+            .localCheckpoint()  # the plan reads the temp index dirs
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 @q(

@@ -645,3 +645,87 @@ def test_decontamination(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan  # corpus side never shuffles
+
+
+def test_incremental_dedup_persisted_index(spark, tmp_path):
+    """the persisted-DedupIndex path must (a) produce exactly the
+    inline-derivation survivors and (b) never scan the raw history
+    table — per-batch cost scales with the batch, not the history."""
+    from s3_log_parser_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup,
+        read_dedup_index,
+        write_dedup_index,
+    )
+
+    hist_text = (
+        "the quick brown fox jumps over one lazy dog while seven other "
+        "animals watch from a distant hill"
+    )
+    hist = spark.createDataFrame(
+        [(0, hist_text), (1, "entirely separate historical record about "
+                             "glacier melt rates in northern fjords")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (100, hist_text),                                  # exact dup
+            (101, hist_text.replace("seven", "nine")),         # near dup
+            (102, "totally fresh content about sailing boats "
+                  "across quiet northern lakes during autumn"),
+        ],
+        "doc_id long, text string",
+    )
+    # write history to a distinctively named parquet dir so the plan
+    # assertion below can detect any scan of it
+    hist_raw = str(tmp_path / "hist_raw_docs")
+    hist.write.parquet(hist_raw)
+    idx_dir = str(tmp_path / "dedup_index")
+    write_dedup_index(
+        build_dedup_index(spark.read.parquet(hist_raw)), idx_dir
+    )
+    idx = read_dedup_index(spark, idx_dir)
+    assert (idx.n, idx.k, idx.mode) == (3, 8, "djb2")
+
+    out = incremental_dedup(new, index=idx, threshold_x1000=500)
+    assert {r["doc_id"] for r in out.collect()} == {102}
+    # parity with the inline-derivation path
+    base = incremental_dedup(
+        new, spark.read.parquet(hist_raw), threshold_x1000=500
+    )
+    assert {r["doc_id"] for r in base.collect()} == {102}
+
+    # no-recompute pin: the indexed plan scans the three index tables,
+    # never the raw history docs (whose signatures/shingles would
+    # otherwise be re-derived per batch). inputFiles() resolves the
+    # actual scan file set (plan toString truncates long paths).
+    files = out.inputFiles()
+    assert not any("hist_raw_docs" in f for f in files)
+    for part in ("digests", "sigs", "shingles"):
+        assert any(f"dedup_index/{part}" in f for f in files)
+
+
+def test_incremental_dedup_requires_history_state(spark):
+    from s3_log_parser_spark.operators.dedup import incremental_dedup
+
+    new = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="seen_df .*or index"):
+        incremental_dedup(new)
+
+
+def test_jaccard_pairs_from_index_matches_inline(spark, docs):
+    """the persisted-shingle-frame seam returns the same pairs as the
+    inline index-join path."""
+    from s3_log_parser_spark.operators.dedup import (
+        jaccard_pairs_from_index,
+        shingle_frame,
+    )
+
+    inline = ngram_jaccard_pairs(docs, threshold_x1000=300)
+    staged = jaccard_pairs_from_index(
+        shingle_frame(docs), threshold_x1000=300
+    )
+    key = lambda r: (r["id_a"], r["id_b"], r["jaccard_x1000"])  # noqa: E731
+    assert sorted(map(key, staged.collect())) == sorted(
+        map(key, inline.collect())
+    )
