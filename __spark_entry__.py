@@ -1974,6 +1974,69 @@ def _corpus_prep(spark, sf):
 
 
 @q(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, {_toks_sql('text')} AS tk FROM documents
+    ), tkh AS (
+      SELECT doc_id, list_transform(tk, t -> {_djb2_sql('t')}) AS th,
+             len(tk) AS ntk
+      FROM toks
+    ), shc AS (
+      SELECT doc_id,
+        list_distinct(
+          CASE WHEN ntk >= 3
+               THEN list_transform(generate_series(1, ntk - 2),
+                      i -> list_reduce(
+                             list_prepend(5381::BIGINT, th[i:i+2]),
+                             {_DJB2_FOLD}))
+               ELSE [list_reduce(list_prepend(5381::BIGINT, th),
+                                 {_DJB2_FOLD})] END) AS hs
+      FROM tkh
+    ), mh AS (
+      SELECT doc_id, {_minhash_cols_sql(8)} FROM shc
+    ), cand AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib FROM mh a JOIN mh b
+        ON a.doc_id < b.doc_id
+       AND ((a.mh_0 = b.mh_0 AND a.mh_1 = b.mh_1)
+         OR (a.mh_2 = b.mh_2 AND a.mh_3 = b.mh_3)
+         OR (a.mh_4 = b.mh_4 AND a.mh_5 = b.mh_5)
+         OR (a.mh_6 = b.mh_6 AND a.mh_7 = b.mh_7))
+    ), pairs AS (
+      SELECT c.ia, c.ib FROM cand c
+      JOIN shc x ON x.doc_id = c.ia
+      JOIN shc y ON y.doc_id = c.ib
+      WHERE FLOOR(len(list_intersect(x.hs, y.hs)) * 1000.0
+                  / len(list_distinct(x.hs || y.hs))) >= 500
+    ), edges AS (
+      SELECT ia AS src, ib AS dst FROM pairs
+      UNION SELECT ib, ia FROM pairs
+    ), reach(id, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+    )
+    SELECT CAST(id AS BIGINT) AS id,
+           CAST(MIN(lab) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+)
+def _dclusters(spark, sf):
+    # duplicate-cluster closure: verified near-dup pairs (LSH-banded
+    # candidates + exact Jaccard ≥ 0.5) → connected components via
+    # hash-min label propagation; the DuckDB oracle computes the same
+    # closure with a recursive CTE (min reachable id per node)
+    from s3_log_parser_spark.operators.dedup import (
+        dup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold_x1000=500, auto_block=True)
+    return dup_clusters(pairs)
+
+
+@q(
     "streaming_unique_starts",
     f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_unique,

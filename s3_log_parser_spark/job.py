@@ -153,6 +153,8 @@ def cmd_prep(args) -> None:
         near_threshold_x1000=args.near_threshold,
         min_tokens=args.min_tokens,
         min_distinct_ratio_x1000=args.min_distinct_ratio,
+        policy=args.policy,
+        mode=args.hash_mode,
     )
     res.clean.write.mode("overwrite").parquet(f"{args.output}/clean")
     res.stats.coalesce(1).write.mode("overwrite").parquet(f"{args.output}/stats")
@@ -213,6 +215,16 @@ def main(argv: list[str] | None = None) -> None:
     pr.add_argument("--near-threshold", type=int, default=500)
     pr.add_argument("--min-tokens", type=int, default=20)
     pr.add_argument("--min-distinct-ratio", type=int, default=330)
+    pr.add_argument(
+        "--policy", choices=["pairs", "clusters"], default="pairs",
+        help="near-dup drop rule: higher id of each verified pair, or "
+        "connected-component closure keeping the lowest id per cluster",
+    )
+    pr.add_argument(
+        "--hash-mode", choices=["djb2", "xxhash64"], default="djb2",
+        help="shingle hash family (djb2 = cross-engine parity; "
+        "xxhash64 = 64-bit codegen family for production scale)",
+    )
     pr.add_argument("--history", help="parquet of already-accepted docs "
                     "(incremental dedup against it first)")
     pr.add_argument("--benchmark", help="parquet of eval docs "

@@ -729,3 +729,83 @@ def test_jaccard_pairs_from_index_matches_inline(spark, docs):
     assert sorted(map(key, staged.collect())) == sorted(
         map(key, inline.collect())
     )
+
+
+def test_dup_clusters_chain_closure(spark):
+    """A~B and B~C (A~C never a pair) must land in ONE cluster labeled
+    by the minimum id; a disjoint pair forms its own cluster."""
+    from s3_log_parser_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dup_clusters_empty_and_long_chain(spark):
+    from s3_log_parser_spark.operators.dedup import dup_clusters
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert dup_clusters(empty).count() == 0
+    # a 6-deep chain needs several propagation rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5, 11)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["cluster_id"] for r in dup_clusters(chain).collect()}
+    assert got == {i: 5 for i in range(5, 12)}
+
+
+def test_corpus_prep_cluster_policy(spark):
+    """policy='clusters': with an A~B~C near-dup chain only the lowest
+    id of the whole component survives; the pair rule would keep the
+    same set here only if A~C happened to band together — construct a
+    chain where A~C is NOT a verified pair and assert closure."""
+    from s3_log_parser_spark.operators.corpus import corpus_prep
+    from s3_log_parser_spark.operators.dedup import ngram_jaccard_pairs
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+    )
+    words = base.split()
+    # B shares most of A; C shares most of B but little of A
+    a = " ".join(words)
+    b = " ".join(words[6:] + ["extra", "tail", "words", "one", "two", "three"])
+    c = " ".join(
+        words[12:] + ["extra", "tail", "words", "one", "two", "three",
+                      "four", "five", "six", "seven", "eight", "nine"]
+    )
+    docs = spark.createDataFrame(
+        [(1, a, "s"), (2, b, "s"), (3, c, "s")],
+        "doc_id long, text string, source string",
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, threshold_x1000=300, auto_block=True
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (2, 3) in got and (1, 3) not in got
+
+    res = corpus_prep(
+        docs,
+        near_threshold_x1000=300,
+        min_tokens=1,
+        min_distinct_ratio_x1000=0,
+        policy="clusters",
+    )
+    assert {r["doc_id"] for r in res.clean.collect()} == {1}
+    # pair rule drops the higher id of each pair — same survivors here
+    # (2 and 3 each appear as an id_b) but via a different mechanism
+    res_pairs = corpus_prep(
+        docs,
+        near_threshold_x1000=300,
+        min_tokens=1,
+        min_distinct_ratio_x1000=0,
+        policy="pairs",
+    )
+    assert {r["doc_id"] for r in res_pairs.clean.collect()} == {1}
+
+    with pytest.raises(ValueError, match="unknown policy"):
+        corpus_prep(docs, policy="nope")
