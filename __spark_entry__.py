@@ -1230,14 +1230,50 @@ _GOLDEN_BPE = os.path.join(
 )
 def _tbpe(spark, sf):
     # Spark recomputes the merge-loop BPE (pandas UDF over the committed
-    # 80-merge table); DuckDB reads the committed golden counts produced
-    # by the pure-Python reference on the same sf0.01 fixture — an
-    # end-to-end pin of the non-SQL tokenizer (same pattern as
+    # 32,768-merge table); DuckDB reads the committed golden counts
+    # produced by the pure-Python reference on the same sf0.01 fixture
+    # — an end-to-end pin of the non-SQL tokenizer (same pattern as
     # pipeline_slim_status)
     from s3_log_parser_spark.functions.bpe import bpe_token_count_real
 
     return _t(spark, sf, "documents").select(
         "doc_id", bpe_token_count_real("text").alias("n_bpe_real")
+    )
+
+
+_GOLDEN_BPE_IDS = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "golden", "bpe_ids_sf001.parquet"
+)
+
+
+@q(
+    "text_bpe_encode",
+    f"""
+    SELECT doc_id, CAST(n_ids AS BIGINT) AS n_ids,
+           CAST(ids_hash AS BIGINT) AS ids_hash
+    FROM read_parquet('{_GOLDEN_BPE_IDS}')
+    """,
+)
+def _tbpe_ids(spark, sf):
+    # token-ID materialization (what a training pipeline actually
+    # ships): the UDF emits the id array once; n_ids and the DJB2 fold
+    # over the first 64 ids are pure-Catalyst derivations of that one
+    # column. Golden produced by tools/make_bpe_golden.py from the
+    # pure-Python reference encoder — pins both sequence ORDER and
+    # values, not just counts.
+    from s3_log_parser_spark.functions.bpe import bpe_token_ids
+
+    ids = _t(spark, sf, "documents").select(
+        "doc_id", bpe_token_ids("text").alias("_ids")
+    )
+    return ids.select(
+        "doc_id",
+        F.size("_ids").cast("long").alias("n_ids"),
+        F.aggregate(
+            F.slice("_ids", 1, 64),
+            F.lit(5381).cast("long"),
+            lambda acc, d: F.pmod(acc * 33 + d, F.lit(1 << 32)),
+        ).cast("long").alias("ids_hash"),
     )
 
 

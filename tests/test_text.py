@@ -146,3 +146,52 @@ def test_pii_counts_and_redact(spark):
     assert "example.com" not in got[1][2] and "555" not in got[1][2]
     assert got[2] == (0, 0, "no pii here at all")
     assert got[3][0] == 0 and got[3][2] is None
+
+
+def test_bpe_token_ids(spark):
+    """token-id emission: ids are round-trippable to the symbol
+    sequence, the id ranges are disjoint by construction, the Spark
+    UDF matches the pure-Python reference (order included), and the
+    committed table is production-vocabulary scale."""
+    from s3_log_parser_spark.functions.bpe import (
+        MERGED_ID_BASE,
+        bpe_encode_py,
+        bpe_symbols,
+        bpe_token_count_py,
+        bpe_token_ids,
+        symbol_id,
+    )
+    from s3_log_parser_spark.functions.bpe_merges import MERGES
+
+    assert len(MERGES) >= 32_768
+    # id scheme: single char → codepoint; merged symbol → base + rank
+    assert symbol_id("a") == ord("a")
+    first_merged = MERGES[0][0] + MERGES[0][1]
+    assert symbol_id(first_merged) == MERGED_ID_BASE
+    # every id is decodable: below base = codepoint, above = merge rank
+    ids = bpe_encode_py("the quick brown fox 123 jumps!")
+    assert len(ids) == bpe_token_count_py("the quick brown fox 123 jumps!")
+    for tok_ids, tok in [(bpe_encode_py("quick"), "quick")]:
+        decoded = "".join(
+            chr(i) if i < MERGED_ID_BASE
+            else MERGES[i - MERGED_ID_BASE][0] + MERGES[i - MERGED_ID_BASE][1]
+            for i in tok_ids
+        )
+        assert decoded == tok
+        assert [symbol_id(s) for s in bpe_symbols(tok)] == tok_ids
+    assert bpe_encode_py(None) == [] and bpe_encode_py("") == []
+
+    import duckdb
+
+    pdf = duckdb.sql(
+        "SELECT doc_id, text FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).df()
+    want = {int(r.doc_id): bpe_encode_py(r.text) for r in pdf.itertuples()}
+    got = {
+        r["doc_id"]: list(r["ids"])
+        for r in spark.createDataFrame(pdf)
+        .select("doc_id", bpe_token_ids("text").alias("ids"))
+        .collect()
+    }
+    assert got == want

@@ -9,10 +9,10 @@ The synthetic documents fixture has only ~31 distinct pre-tokens —
 nowhere near enough pair diversity for a production-scale table — so
 the training corpus is a deterministic synthetic word stream (seeded
 RNG, Zipfian word frequencies, English-ish letter distribution; see
-main() for why the fixture is excluded). That yields a
-few-thousand-merge table that exercises the runtime merge loop at
-realistic vocabulary size (VERDICT r3 #5) while staying fully
-self-contained (no external data).
+main() for why the fixture is excluded). That yields a 32,768-merge
+table — production-tokenizer vocabulary scale — exercising the runtime
+merge loop at realistic depth while staying fully self-contained (no
+external data).
 
 The naive trainer recounts every pair each iteration — O(merges ×
 vocab); at thousands of merges that's minutes. This one keeps an
@@ -29,7 +29,7 @@ import random
 import re
 from collections import Counter
 
-N_MERGES = 4000
+N_MERGES = 32768
 CORPUS = "/root/testdata/sf0.001/documents.parquet"
 OUT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -49,7 +49,7 @@ _WEIGHTS = [
 
 
 def synthetic_pretokens(
-    n_words: int = 20_000, seed: int = 42
+    n_words: int = 40_000, seed: int = 42
 ) -> Counter:
     """seed-stable Zipfian word stream: rank-r word has weight ~1/r."""
     rng = random.Random(seed)
