@@ -1675,6 +1675,71 @@ def _trep(spark, sf):
     )
 
 
+# the fixtures deliberately carry no PII, so the PII detector gets its
+# oracle over a DETERMINISTIC derived view: docs with doc_id%3==0 gain
+# a synthetic email, docs with doc_id%5==0 a synthetic intl phone —
+# both engines build the identical string, then count matches with
+# their own regex engine (patterns must equal text.PII_PATTERNS; a
+# pytest pins that). VERDICT r4 next #7.
+from s3_log_parser_spark.functions.text import PII_PATTERNS as _PII  # noqa: E402
+
+
+@q(
+    "text_pii_counts",
+    f"""
+    WITH pii AS (
+      SELECT doc_id,
+        text
+        || CASE WHEN doc_id % 3 = 0
+             THEN ' contact agent' || CAST(doc_id AS VARCHAR)
+                  || '@example.com now' ELSE '' END
+        || CASE WHEN doc_id % 5 = 0
+             THEN ' or call +1 555 000 '
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(t, '{_PII["email"]}')) AS BIGINT)
+        AS n_email,
+      CAST(len(regexp_extract_all(t, '{_PII["phone"]}')) AS BIGINT)
+        AS n_phone
+    FROM pii
+    """,
+)
+def _tpii(spark, sf):
+    from s3_log_parser_spark.functions.text import pii_counts
+
+    docs = _t(spark, sf, "documents")
+    derived = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact agent"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" or call +1 555 000 "),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    pc = pii_counts("t")
+    return derived.select(
+        "doc_id",
+        pc["email"].alias("n_email"),
+        pc["phone"].alias("n_phone"),
+    )
+
+
 @q(
     "decontamination_hits",
     f"""

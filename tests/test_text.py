@@ -195,3 +195,64 @@ def test_bpe_token_ids(spark):
         .collect()
     }
     assert got == want
+
+
+def test_pii_redaction_roundtrip_on_derived_view(spark):
+    """redaction round-trip over the oracle's derived PII view (sf0.001
+    docs + synthetic emails/phones): after pii_redact, the detectors
+    find ZERO residual matches in every row, and rows that never gained
+    PII are byte-identical."""
+    from s3_log_parser_spark.functions.text import pii_counts, pii_redact
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    derived = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact agent"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" or call +1 555 000 "),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    pre = pii_counts("t")
+    n_with_pii = derived.filter(
+        (pre["email"] > 0) | (pre["phone"] > 0)
+    ).count()
+    assert n_with_pii > 0  # the view must actually plant PII
+    red = derived.select(
+        "doc_id", "t", pii_redact("t").alias("r")
+    )
+    post = pii_counts("r")
+    assert red.filter((post["email"] > 0) | (post["phone"] > 0)).count() == 0
+    untouched = derived.filter(
+        (F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 5 != 0)
+    ).count()
+    same = red.filter(
+        (F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 5 != 0)
+        & (F.col("t") == F.col("r"))
+    ).count()
+    assert untouched == same
+
+
+def test_pii_oracle_patterns_pinned():
+    """the SQL literals interpolated into the text_pii_counts oracle
+    must be exactly text.PII_PATTERNS — a drift here would silently
+    weaken the cross-engine check."""
+    import __spark_entry__ as entrymod
+    from s3_log_parser_spark.functions.text import PII_PATTERNS
+
+    sql = entrymod.oracle_sql()["text_pii_counts"]
+    for pat in PII_PATTERNS.values():
+        assert pat in sql
