@@ -2229,9 +2229,71 @@ def _tpch1(spark, sf):
     )
 
 
+# ---------------------------------------------------------------------------
+# driver-recording order (VERDICT r4 next #1): the per-round driver
+# records CORRECTNESS rows for the FIRST 50 queries in dict order, so
+# the dicts are re-ordered explicitly — never/not-recently
+# driver-recorded queries (every round-4/5 operator) first, the
+# long-stable core next, and 15 long-green scalar rows rotated past
+# the window (they stay registered for check_oracle/judge runs and
+# remain pinned by pytest + the r04 driver artifact).
+# ---------------------------------------------------------------------------
+
+_DRIVER_PRIORITY = [
+    # round-4 operators with no driver-recorded row yet + the rotated-out
+    # r3 queries (VERDICT r4 wrong #1)
+    "text_repetition",
+    "decontamination_hits",
+    "incremental_dedup_stats",
+    "key_skew_profile",
+    "latency_percentiles",
+    "session_stats",
+    "corpus_prep_stats",
+    "streaming_unique_starts",
+    "json_sink_roundtrip",
+    "streaming_router_parity",
+    "tpch_q1_pricing_summary",
+    # round-5 additions
+    "incremental_dedup_indexed",
+    "dedup_clusters",
+    "text_bpe_encode",
+    "text_pii_counts",
+]
+
+# long-stable single-op rows rotated past the 50-query window: each was
+# driver-green in CORRECTNESS_r04 and every one is additionally pinned
+# by pytest (ported GTest semantics / kernel tests) and exercised inside
+# the composite pipeline queries that stay in the window
+_DRIVER_ROTATED_OUT = [
+    "s1_scan_filter_project",
+    "p3_http_domain_clamp",
+    "p5_range_header_parse",
+    "p6_substring_predicate",
+    "p7_first_segment",
+    "e1_epoch_conversion",
+    "e3_kb_quantization",
+    "e6_completion_percent",
+    "f2_format_hash_hex",
+    "a1_group_count",
+    "a2_day_bucket_count",
+    "a3_global_counts",
+    "a4_distinct_pairs",
+    "j2_anti_join",
+    "dedup_minhash_signatures",
+]
+
+
+def _driver_order(names) -> list[str]:
+    head = [n for n in _DRIVER_PRIORITY if n in names]
+    tail = [n for n in _DRIVER_ROTATED_OUT if n in names]
+    mid = [n for n in names if n not in set(head) | set(tail)]
+    return head + mid + tail
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_QUERIES)
+    return {n: _QUERIES[n] for n in _driver_order(_QUERIES)}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    order = _driver_order(_QUERIES)
+    return {n: _ORACLES[n] for n in order if n in _ORACLES}
