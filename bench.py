@@ -323,6 +323,17 @@ def main() -> None:
         t0 = time.perf_counter()
         simhash_pairs(docs, bits=64, band_bits=16).count()
         qtimes["dedup_simhash_pairs_64bit"] = round(time.perf_counter() - t0, 3)
+        # the composed prep DAG under the PRODUCTION hash family
+        # (64-bit codegen shingle hashes threaded through exact dedup →
+        # LSH near-dup → quality filter → budgets); the oracle keeps
+        # the djb2 parity family, so this is timed directly
+        from s3_log_parser_spark.operators.corpus import corpus_prep
+
+        t0 = time.perf_counter()
+        corpus_prep(docs, mode="xxhash64").stats.count()
+        qtimes["corpus_prep_stats_xxhash64"] = round(
+            time.perf_counter() - t0, 3
+        )
 
     # field order matters: the driver records only the TAIL of stdout,
     # and r4's artifact lost the headline (value/turns_per_sec/stage_sec)
