@@ -997,6 +997,29 @@ def read_dedup_index(spark, path: str) -> DedupIndex:
     )
 
 
+def append_to_dedup_index(
+    accepted_df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """the post-acceptance step of the daily ingestion loop: derive the
+    accepted batch's three frames under the index's OWN n/k/mode (read
+    from its meta table, so a caller can't silently mix hash families)
+    and append them. Appended digests may repeat an existing digest
+    across batches — harmless, the exact leg is an anti-join (presence
+    test); compact with a distinct rewrite during table maintenance if
+    storage matters. Cost: O(batch), the history is never touched."""
+    spark = accepted_df.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    inc = build_dedup_index(
+        accepted_df, id_col, text_col, meta["n"], meta["k"], meta["mode"]
+    )
+    inc.digests.write.mode("append").parquet(f"{path}/digests")
+    inc.sigs.write.mode("append").parquet(f"{path}/sigs")
+    inc.shingles.write.mode("append").parquet(f"{path}/shingles")
+
+
 def incremental_dedup(
     new_df: DataFrame,
     seen_df: DataFrame | None = None,

@@ -809,3 +809,51 @@ def test_corpus_prep_cluster_policy(spark):
 
     with pytest.raises(ValueError, match="unknown policy"):
         corpus_prep(docs, policy="nope")
+
+
+def test_dedup_index_daily_append_loop(spark, tmp_path):
+    """two-day ingestion loop: day-2 batch dedups against the day-1
+    index, its survivors are appended, and a day-3 batch then sees
+    BOTH days' history (exact and near-dup legs)."""
+    from s3_log_parser_spark.operators.dedup import (
+        append_to_dedup_index,
+        build_dedup_index,
+        incremental_dedup,
+        read_dedup_index,
+        write_dedup_index,
+    )
+
+    d1_text = (
+        "the quick brown fox jumps over one lazy dog while seven other "
+        "animals watch from a distant hill"
+    )
+    d2_text = (
+        "totally fresh content about sailing boats across quiet "
+        "northern lakes during long autumn evenings"
+    )
+    idx_dir = str(tmp_path / "idx")
+    day1 = spark.createDataFrame([(0, d1_text)], "doc_id long, text string")
+    write_dedup_index(build_dedup_index(day1), idx_dir)
+
+    day2 = spark.createDataFrame(
+        [(100, d1_text), (101, d2_text)], "doc_id long, text string"
+    )
+    surv2 = incremental_dedup(
+        day2, index=read_dedup_index(spark, idx_dir), threshold_x1000=500
+    )
+    assert {r["doc_id"] for r in surv2.collect()} == {101}
+    append_to_dedup_index(surv2, idx_dir)
+
+    day3 = spark.createDataFrame(
+        [
+            (200, d1_text),                                # dup of day 1
+            (201, d2_text.replace("quiet", "silent")),     # near-dup of day 2
+            (202, "entirely new discussion of mountain railway "
+                  "timetables in early spring snow"),
+        ],
+        "doc_id long, text string",
+    )
+    surv3 = incremental_dedup(
+        day3, index=read_dedup_index(spark, idx_dir), threshold_x1000=500
+    )
+    assert {r["doc_id"] for r in surv3.collect()} == {202}
