@@ -2258,6 +2258,9 @@ _DRIVER_PRIORITY = [
     "dedup_clusters",
     "text_bpe_encode",
     "text_pii_counts",
+    "split_assignment_counts",
+    "sample_token_budget",
+    "pack_sequences_stats",
 ]
 
 # long-stable single-op rows rotated past the 50-query window: each was
@@ -2280,6 +2283,13 @@ _DRIVER_ROTATED_OUT = [
     "a4_distinct_pairs",
     "j2_anti_join",
     "dedup_minhash_signatures",
+    # r5 late additions pushed three more past the window: each is
+    # subsumed by an in-window composite (simhash pairs pin the
+    # signature kernel via exact hamming; corpus_prep/quality pin
+    # token_count; ann_lsh_topk drives the bucketing end-to-end)
+    "dedup_simhash",
+    "text_token_counts",
+    "ann_lsh_buckets",
 ]
 
 
@@ -2288,6 +2298,108 @@ def _driver_order(names) -> list[str]:
     tail = [n for n in _DRIVER_ROTATED_OUT if n in names]
     mid = [n for n in names if n not in set(head) | set(tail)]
     return head + mid + tail
+
+
+# ===========================================================================
+# dataset assembly: splits, budget sampling, packing (operators/sampling.py)
+# ===========================================================================
+
+
+@q(
+    "split_assignment_counts",
+    f"""
+    WITH b AS (
+      SELECT doc_id,
+             (({_djb2_sql("'v1:' || CAST(doc_id AS VARCHAR)")}
+               * 2654435 + 7) % 4294967311) % 1000 AS bkt
+      FROM documents
+    )
+    SELECT CASE WHEN bkt < 900 THEN 'train'
+                WHEN bkt < 950 THEN 'val' ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM b GROUP BY 1
+    """,
+)
+def _split_counts(spark, sf):
+    # deterministic train/val/test assignment: row-local DJB2 bucket of
+    # (salt, id) — no shuffle, stable under corpus growth; both engines
+    # reproduce the bucket digit-for-digit
+    from s3_log_parser_spark.operators.sampling import hash_split
+
+    return (
+        hash_split(_t(spark, sf, "documents"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("doc_id").cast("long").alias("sum_ids"),
+        )
+    )
+
+
+@q(
+    "sample_token_budget",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_toks_sql('text')}) AS cnt FROM documents
+    ), c AS (
+      SELECT *, SUM(cnt) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(cnt) AS BIGINT) AS kept_tokens
+    FROM c WHERE cum - cnt < 1000 GROUP BY source
+    """,
+)
+def _sample_budget(spark, sf):
+    # deterministic prefix-by-id sampling to a per-source token budget:
+    # one window per group, kept set is a stable prefix (re-runs and
+    # corpus appends never reshuffle what was already kept)
+    from s3_log_parser_spark.functions.text import token_count
+    from s3_log_parser_spark.operators.sampling import (
+        sample_to_token_budget,
+    )
+
+    kept = sample_to_token_budget(
+        _t(spark, sf, "documents"), budget_tokens=1000, by="source"
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(token_count("text")).cast("long").alias("kept_tokens"),
+    )
+
+
+@q(
+    "pack_sequences_stats",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_toks_sql('text')}) AS cnt FROM documents
+    ), c AS (
+      SELECT *, SUM(cnt) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    ), p AS (
+      SELECT source, cnt, FLOOR((cum - cnt) / 256) AS bin FROM c
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT bin) AS BIGINT) AS n_bins,
+           CAST(SUM(cnt) AS BIGINT) AS sum_tokens,
+           CAST(FLOOR(CAST(SUM(cnt) * 1000 AS DOUBLE)
+                      / (COUNT(DISTINCT bin) * 256)) AS BIGINT)
+             AS fill_x1000
+    FROM p GROUP BY source
+    """,
+)
+def _pack_stats(spark, sf):
+    # context-window packing estimate under id-order concatenation per
+    # source (bin of record = where the doc starts); fill_x1000 is the
+    # space-utilization number a pretraining run sizes against
+    from s3_log_parser_spark.operators.sampling import pack_stats
+
+    return pack_stats(
+        _t(spark, sf, "documents"), ctx_tokens=256, by="source"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,133 @@
+"""Dataset assembly: hash splits, token-budget sampling, packing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3_log_parser_spark.operators.sampling import (
+    hash_split,
+    pack_sequences,
+    pack_stats,
+    sample_to_token_budget,
+    split_bucket,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        # (doc_id, source, text with a known token count)
+        (i, f"s{i % 2}", " ".join(f"w{j}" for j in range(5 + (i % 3) * 5)))
+        for i in range(40)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_hash_split_partition_and_determinism(spark, corpus):
+    out = hash_split(corpus)
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert set(rows.values()) <= {"train", "val", "test"}
+    assert len(rows) == 40  # every row assigned exactly once
+    # deterministic: identical on re-run
+    again = {r["doc_id"]: r["split"] for r in hash_split(corpus).collect()}
+    assert rows == again
+    # row-local: a doc's split is unchanged when other docs disappear
+    subset = hash_split(corpus.filter(F.col("doc_id") < 10))
+    for r in subset.collect():
+        assert rows[r["doc_id"]] == r["split"]
+    # salt re-rolls assignments
+    rerolled = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(corpus, salt="v2").collect()
+    }
+    assert rerolled != rows
+    # bucket matches the pure-python reference (DJB2 + affine mix)
+    from s3_log_parser_spark.functions.hashes import djb2_py
+    from s3_log_parser_spark.operators.sampling import (
+        SPLIT_MIX_A,
+        SPLIT_MIX_B,
+        SPLIT_MIX_P,
+    )
+
+    got = corpus.select("doc_id", split_bucket("doc_id").alias("b")).collect()
+    for r in got:
+        h = djb2_py(f"v1:{r['doc_id']}")
+        assert r["b"] == ((SPLIT_MIX_A * h + SPLIT_MIX_B) % SPLIT_MIX_P) % 1000
+
+    # production mode exists and also partitions every row
+    prod = hash_split(corpus, mode="xxhash64")
+    assert prod.filter(F.col("split").isNull()).count() == 0
+
+    with pytest.raises(ValueError, match="sum to 1000"):
+        hash_split(corpus, weights=(("train", 500),))
+
+
+def test_hash_split_proportions_on_sequential_ids(spark):
+    """sequential ids are the adversarial case for weak hashes (raw
+    DJB2 mod 1000 put ids 0..39 ALL in 'train'): with the affine
+    post-mix, 2,000 sequential ids must land near 90/5/5."""
+    ids = spark.range(2000).withColumnRenamed("id", "doc_id")
+    counts = {
+        r["split"]: r["n"]
+        for r in hash_split(ids).groupBy("split").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert abs(counts["train"] - 1800) < 60
+    assert abs(counts.get("val", 0) - 100) < 40
+    assert abs(counts.get("test", 0) - 100) < 40
+
+
+def test_sample_to_token_budget_prefix_property(spark, corpus):
+    """kept set per source is exactly the docs whose preceding running
+    total is under budget — a stable prefix in id order; first doc of
+    a group always survives."""
+    kept = sample_to_token_budget(
+        corpus, budget_tokens=30, by="source"
+    ).collect()
+    by_src: dict[str, list[int]] = {}
+    for r in sorted(kept, key=lambda r: r["doc_id"]):
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    # recompute expected prefix in python
+    import collections
+
+    texts = {
+        (r["source"], r["doc_id"]): len(r["text"].split())
+        for r in corpus.collect()
+    }
+    expected = collections.defaultdict(list)
+    run: dict[str, int] = collections.defaultdict(int)
+    for (src, did) in sorted(texts, key=lambda k: k[1]):
+        if run[src] < 30:
+            expected[src].append(did)
+        run[src] += texts[(src, did)]
+    assert by_src == dict(expected)
+    # a budget of 1 still keeps the first doc of each source
+    tiny = sample_to_token_budget(corpus, budget_tokens=1, by="source")
+    assert tiny.count() == 2  # one per source
+    # ungrouped mode: global prefix
+    g = sample_to_token_budget(corpus, budget_tokens=12)
+    assert {r["doc_id"] for r in g.collect()} == {0, 1}
+
+
+def test_pack_sequences_and_stats(spark, corpus):
+    packed = pack_sequences(corpus, ctx_tokens=16, by="source")
+    rows = sorted(
+        packed.collect(), key=lambda r: (r["source"], r["doc_id"])
+    )
+    # bins are non-decreasing in id order within a group, start at 0,
+    # and equal floor(preceding_total / ctx)
+    run = {}
+    for r in rows:
+        before = run.get(r["source"], 0)
+        assert r["pack_bin"] == before // 16
+        run[r["source"]] = before + r["n_tokens"]
+    stats = {r["source"]: r for r in pack_stats(corpus, 16).collect()}
+    for src, st in stats.items():
+        assert st["sum_tokens"] == run[src]
+        assert 0 < st["fill_x1000"] <= 1000 * max(
+            1, st["sum_tokens"] // (st["n_bins"] * 16) + 1
+        )
+        # fill = floor(sum*1000/(bins*ctx)) recomputed
+        assert st["fill_x1000"] == st["sum_tokens"] * 1000 // (
+            st["n_bins"] * 16
+        )
