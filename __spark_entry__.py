@@ -2261,6 +2261,7 @@ _DRIVER_PRIORITY = [
     "split_assignment_counts",
     "sample_token_budget",
     "pack_sequences_stats",
+    "grouped_topk_events",
 ]
 
 # long-stable single-op rows rotated past the 50-query window: each was
@@ -2290,6 +2291,7 @@ _DRIVER_ROTATED_OUT = [
     "dedup_simhash",
     "text_token_counts",
     "ann_lsh_buckets",
+    "dedup_simhash_pairs",  # 16/4 parity slice; 64/16 production row stays
 ]
 
 
@@ -2400,6 +2402,44 @@ def _pack_stats(spark, sf):
     return pack_stats(
         _t(spark, sf, "documents"), ctx_tokens=256, by="source"
     )
+
+
+@q(
+    "grouped_topk_events",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ), r AS (
+      SELECT user_id, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rank
+      FROM c
+    )
+    SELECT user_id, event_type, CAST(n AS BIGINT) AS n,
+           CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 2
+    """,
+)
+def _topk_events(spark, sf):
+    # A6: per-group top-k (the reference has NO sort/limit/top-k —
+    # SURVEY §2.6); deterministic total order (count desc, event_type
+    # asc) so both engines pick identical rows; Spark plans a
+    # WindowGroupLimit so only ≤k rows per group cross the exchange
+    from s3_log_parser_spark.operators.aggregate import grouped_topk
+
+    counts = (
+        _t(spark, sf, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    out = grouped_topk(
+        counts,
+        ("user_id",),
+        (F.col("n").desc(), F.col("event_type").asc()),
+        k=2,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -50,6 +50,31 @@ def global_counts(df: DataFrame, *distinct_keys: str) -> DataFrame:
     return df.agg(*aggs)
 
 
+def grouped_topk(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    order_cols: tuple[Column, ...],
+    k: int = 3,
+) -> DataFrame:
+    """A6 (beyond the reference, which has no sort/limit/top-k at all —
+    SURVEY §2.6): per-group top-k rows under an explicit DETERMINISTIC
+    ordering (callers must make ``order_cols`` a total order — ties
+    under a partial order would make the returned rows
+    partition-dependent, the same trap as ``dropDuplicates``). Adds
+    ``rank``. One window shuffle on the group key; at 100 TB this is
+    the standard "top tools per day" dashboard shape — Spark pushes a
+    per-partition top-k heap below the exchange via
+    ``WindowGroupLimit``, so the shuffle moves ≤ k rows per
+    (partition, group), not every row."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def grouped_export(
     df: DataFrame,
     key: str | Column,

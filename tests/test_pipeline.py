@@ -197,3 +197,25 @@ def test_profile_key_skew_modes(spark):
     a = profile_key_skew(df, "k", mode="approx").collect()[0]
     assert a["n_keys"] == 11 and a["max_count"] == 90
     assert a["p50_count"] == 1
+
+
+def test_grouped_topk_deterministic_and_group_limited(spark):
+    """per-group top-k: deterministic total order picks the same rows
+    every run, and the plan carries a WindowGroupLimit so ≤k rows per
+    group cross the shuffle (the 100 TB property)."""
+    from s3_log_parser_spark.operators.aggregate import grouped_topk
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("u1", "a", 5), ("u1", "b", 5), ("u1", "c", 1),
+        ("u2", "x", 9),
+    ]
+    df = spark.createDataFrame(rows, "user string, item string, n long")
+    out = grouped_topk(
+        df, ("user",), (F.col("n").desc(), F.col("item").asc()), k=2
+    )
+    got = {(r["user"], r["item"], r["rank"]) for r in out.collect()}
+    # tie on n=5 broken by item asc: a before b
+    assert got == {("u1", "a", 1), ("u1", "b", 2), ("u2", "x", 1)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

@@ -131,3 +131,14 @@ def test_pack_sequences_and_stats(spark, corpus):
         assert st["fill_x1000"] == st["sum_tokens"] * 1000 // (
             st["n_bins"] * 16
         )
+
+
+def test_hash_split_plan_has_no_exchange(spark, corpus):
+    """hash_split must be row-local: the physical plan contains no
+    Exchange (shuffle) — the property that makes assignments stable
+    under corpus growth and free at 100 TB."""
+    plan = (
+        hash_split(corpus)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
