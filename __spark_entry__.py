@@ -2262,6 +2262,7 @@ _DRIVER_PRIORITY = [
     "sample_token_budget",
     "pack_sequences_stats",
     "grouped_topk_events",
+    "asof_join_states",
 ]
 
 # long-stable single-op rows rotated past the 50-query window: each was
@@ -2292,6 +2293,9 @@ _DRIVER_ROTATED_OUT = [
     "text_token_counts",
     "ann_lsh_buckets",
     "dedup_simhash_pairs",  # 16/4 parity slice; 64/16 production row stays
+    # brute-force verification mode; the scale twin dedup_embedding_lsh
+    # stays in-window and block==pairs parity is pytest-pinned
+    "dedup_embedding_cosine",
 ]
 
 
@@ -2440,6 +2444,42 @@ def _topk_events(spark, sf):
         k=2,
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@q(
+    "asof_join_states",
+    """
+    WITH st AS (
+      SELECT user_id, ts, MAX(event_id) AS state_id
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ), cl AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT cl.event_id, cl.user_id,
+           CAST(st.state_id AS BIGINT) AS state_id
+    FROM cl ASOF LEFT JOIN st
+      ON cl.user_id = st.user_id AND cl.ts >= st.ts
+    """,
+)
+def _asof_states(spark, sf):
+    # as-of join: every click matched to the latest purchase state at
+    # or before it (per user). Spark side is the union+window rewrite
+    # (one shuffle, no range cross-join); DuckDB side is its NATIVE
+    # ASOF JOIN — two entirely independent implementations of the
+    # operator semantics
+    from s3_log_parser_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf, "events")
+    st = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("state_id"))
+    )
+    cl = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(cl, st, on="ts", by=("user_id",), right_cols=("state_id",))
+    return out.select("event_id", "user_id", "state_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
