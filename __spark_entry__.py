@@ -2263,6 +2263,7 @@ _DRIVER_PRIORITY = [
     "pack_sequences_stats",
     "grouped_topk_events",
     "asof_join_states",
+    "range_join_windows",
 ]
 
 # long-stable single-op rows rotated past the 50-query window: each was
@@ -2296,6 +2297,9 @@ _DRIVER_ROTATED_OUT = [
     # brute-force verification mode; the scale twin dedup_embedding_lsh
     # stays in-window and block==pairs parity is pytest-pinned
     "dedup_embedding_cosine",
+    # int8 variant; the recall pin and rounding tests stay in pytest,
+    # knn_bruteforce_topk (the float path) stays in-window
+    "knn_quantized_topk",
 ]
 
 
@@ -2480,6 +2484,42 @@ def _asof_states(spark, sf):
     )
     out = asof_join(cl, st, on="ts", by=("user_id",), right_cols=("state_id",))
     return out.select("event_id", "user_id", "state_id")
+
+
+@q(
+    "range_join_windows",
+    """
+    WITH iv AS (
+      SELECT user_id, event_id AS win_id, ts AS start_ts,
+             ts + INTERVAL 600 SECOND AS end_ts
+      FROM events WHERE event_type = 'purchase'
+    ), cl AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT cl.event_id, cl.user_id, CAST(iv.win_id AS BIGINT) AS win_id
+    FROM cl JOIN iv ON cl.user_id = iv.user_id
+                   AND cl.ts >= iv.start_ts AND cl.ts < iv.end_ts
+    """,
+)
+def _range_windows(spark, sf):
+    # interval-containment join: clicks inside each user's 10-minute
+    # post-purchase window. Spark side is the bucketized equi-join +
+    # exact residual (no per-key cross product); the oracle is the
+    # literal BETWEEN theta-join DuckDB can afford at fixture scale
+    from s3_log_parser_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf, "events")
+    iv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("win_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 600 SECOND")).alias("end_ts"),
+    )
+    cl = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = range_join(cl, iv, bucket_seconds=600)
+    return out.select("event_id", "user_id", "win_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -64,3 +64,62 @@ def test_asof_single_window_shuffle(spark, frames):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_range_join_containment_semantics(spark):
+    from s3_log_parser_spark.operators.temporal import range_join
+
+    iv = spark.createDataFrame(
+        [
+            (1, 100, "2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+            (1, 101, "2024-01-01 00:30:00", "2024-01-01 02:00:00"),  # overlaps 100
+            (2, 200, "2024-01-01 00:00:00", "2024-01-01 00:10:00"),
+            (2, 201, "2024-01-01 05:00:00", "2024-01-01 04:00:00"),  # empty, dropped
+        ],
+        "user_id long, win_id long, start_ts string, end_ts string",
+    ).select(
+        "user_id", "win_id",
+        F.col("start_ts").cast("timestamp").alias("start_ts"),
+        F.col("end_ts").cast("timestamp").alias("end_ts"),
+    )
+    ev = spark.createDataFrame(
+        [
+            (10, 1, "2024-01-01 00:00:00"),  # start inclusive → 100
+            (11, 1, "2024-01-01 00:45:00"),  # inside both → 100 AND 101
+            (12, 1, "2024-01-01 01:00:00"),  # end of 100 EXCLUSIVE → only 101
+            (13, 2, "2024-01-01 00:10:00"),  # end exclusive → no match
+            (14, 3, "2024-01-01 00:05:00"),  # other key → no match
+        ],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    # bucket much smaller than the intervals → exercises multi-bucket
+    # explode and cross-bucket matches
+    out = range_join(ev, iv, bucket_seconds=300)
+    got = sorted((r["event_id"], r["win_id"]) for r in out.collect())
+    assert got == [(10, 100), (11, 100), (11, 101), (12, 101)]
+    # bucket larger than every interval → same answer
+    out2 = range_join(ev, iv, bucket_seconds=86400)
+    assert sorted((r["event_id"], r["win_id"]) for r in out2.collect()) == got
+
+
+def test_range_join_explode_guard(spark):
+    from s3_log_parser_spark.operators.temporal import range_join
+
+    iv = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:00:00", "2024-03-01 00:00:00")],
+        "user_id long, win_id long, start_ts string, end_ts string",
+    ).select(
+        "user_id", "win_id",
+        F.col("start_ts").cast("timestamp").alias("start_ts"),
+        F.col("end_ts").cast("timestamp").alias("end_ts"),
+    )
+    ev = spark.createDataFrame(
+        [(1, 1, "2024-01-02 00:00:00")],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="spans .* buckets"):
+        range_join(ev, iv, bucket_seconds=60, max_buckets_per_interval=100)
+    # guard off → runs (60-day interval × 1h buckets is fine)
+    assert range_join(
+        ev, iv, bucket_seconds=3600, max_buckets_per_interval=None
+    ).count() == 1
