@@ -97,6 +97,7 @@ def sample_to_token_budget(
     id_col: str = "doc_id",
     text_col: str = "text",
     by: str | None = None,
+    count_col: Column | None = None,
 ) -> DataFrame:
     """deterministic prefix-by-id sampling: walk documents in ``id``
     order (per ``by`` group when given) and keep each doc whose
@@ -105,14 +106,16 @@ def sample_to_token_budget(
     on re-run. The first doc of a group is always kept (a budget
     smaller than one doc still yields that doc — truncation is the
     tokenizer's job, not the sampler's). One window per group; pass
-    ``by=`` at scale so the sort is per-group."""
+    ``by=`` at scale so the sort is per-group. ``count_col`` swaps in
+    any per-doc size expression (e.g. ``bpe_token_count_real`` for a
+    real-tokenizer budget); default is the whitespace token count."""
     part = [by] if by else []
     w = (
         Window.partitionBy(*part)
         .orderBy(F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cnt = token_count(text_col)
+    cnt = token_count(text_col) if count_col is None else count_col
     cum = F.sum(cnt).over(w)
     return (
         df.withColumn("_cum", cum)
@@ -128,6 +131,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     by: str | None = "source",
+    count_col: Column | None = None,
 ) -> DataFrame:
     """assign each doc the context-window bin where it STARTS under
     deterministic id-order concatenation within its group:
@@ -135,14 +139,15 @@ def pack_sequences(
     and ``n_tokens``. This is the streaming-concatenation packing model
     (docs straddle bin boundaries; the bin of record is where the doc
     begins) — the estimate every pretraining pipeline uses to size a
-    run before materializing packed examples."""
+    run before materializing packed examples. ``count_col`` swaps in a
+    real-tokenizer size (see sample_to_token_budget)."""
     part = [by] if by else []
     w = (
         Window.partitionBy(*part)
         .orderBy(F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cnt = token_count(text_col)
+    cnt = token_count(text_col) if count_col is None else count_col
     cum = F.sum(cnt).over(w)
     return df.withColumn("n_tokens", cnt.cast("long")).withColumn(
         "pack_bin",
