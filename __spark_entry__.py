@@ -53,12 +53,16 @@ def q(name: str, oracle: str | None = None):
     return reg
 
 
-# DuckDB fragment for DJB2 (matches functions/hashes.djb2_expr exactly)
+# DuckDB fragment for DJB2 (matches functions/hashes.djb2_expr exactly).
+# The empty string needs a guard: DuckDB string_split('', '') is ['']
+# (not []) and ord('') is -1, which would fold to 177572 where the
+# Spark expression yields the bare seed 5381.
 def _djb2_sql(expr: str) -> str:
     return (
+        f"CASE WHEN coalesce({expr}, '') = '' THEN 5381 ELSE "
         "list_reduce(list_prepend(5381::BIGINT, "
         f"list_transform(string_split({expr}, ''), c -> ord(c)::BIGINT)), "
-        "(a, b) -> (a * 33 + b) % 4294967296)"
+        "(a, b) -> (a * 33 + b) % 4294967296) END"
     )
 
 
@@ -2264,6 +2268,9 @@ _DRIVER_PRIORITY = [
     "grouped_topk_events",
     "asof_join_states",
     "range_join_windows",
+    "line_dedup_stats",
+    "sample_mixture_counts",
+    "shuffle_order_prefix",
 ]
 
 # long-stable single-op rows rotated past the 50-query window: each was
@@ -2300,6 +2307,14 @@ _DRIVER_ROTATED_OUT = [
     # int8 variant; the recall pin and rounding tests stay in pytest,
     # knn_bruteforce_topk (the float path) stays in-window
     "knn_quantized_topk",
+    # three more rotated for the r5 line-dedup/mixture/shuffle rows:
+    # e8 runs inside pipeline_slim_status's classification columns, w1's
+    # window kernel is the same one st1_first_occurrence records, and
+    # dedup_ngram_jaccard is the labeled O(N²) exact baseline whose
+    # scale twin dedup_minhash_lsh_pairs stays in-window
+    "e8_two_level_platform",
+    "w1_stable_turn_ordering",
+    "dedup_ngram_jaccard",
 ]
 
 
@@ -2520,6 +2535,144 @@ def _range_windows(spark, sf):
     )
     out = range_join(cl, iv, bucket_seconds=600)
     return out.select("event_id", "user_id", "win_id")
+
+
+# ===========================================================================
+# line-level dedup, mixture sampling, deterministic shuffle (round 5)
+# ===========================================================================
+
+
+@q(
+    "line_dedup_stats",
+    f"""
+    WITH d AS (
+      SELECT doc_id, replace(text, ' table ', chr(10)) AS text
+      FROM documents
+    ), ls AS (
+      SELECT doc_id, text, string_split(text, chr(10)) AS lns FROM d
+    ), ex AS (
+      SELECT doc_id, unnest(lns) AS line,
+             unnest(generate_series(1, len(lns))) AS pos
+      FROM ls
+    ), freq AS (
+      SELECT line, COUNT(DISTINCT doc_id) AS nd
+      FROM ex WHERE len(line) >= 1 GROUP BY line
+    ), drops AS (SELECT line FROM freq WHERE nd > 1),
+    kept AS (
+      SELECT e.doc_id, e.line, e.pos FROM ex e
+      WHERE len(e.line) < 1
+         OR e.line NOT IN (SELECT line FROM drops)
+    ), re AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS ctext,
+             COUNT(*) AS kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           {_djb2_sql("coalesce(re.ctext, '')")} AS clean_fp,
+           CAST(coalesce(re.kept, 0) AS BIGINT) AS n_lines_kept,
+           CAST(len(string_split(d.text, chr(10)))
+                - coalesce(re.kept, 0) AS BIGINT) AS n_lines_dropped
+    FROM d LEFT JOIN re USING (doc_id)
+    """,
+)
+def _line_dedup_stats(spark, sf):
+    # RefinedWeb-style boilerplate removal: drop every line occurring in
+    # more than one distinct document, keep survivors in original order.
+    # The fixture text has no newlines, so a multi-line view is derived
+    # identically in both engines (every ' table ' token boundary becomes
+    # a line break — plain left-to-right literal replace, no regex).
+    # key_mode='raw' is the oracle-parity mode; raw==djb2==xxhash64 is
+    # pytest-pinned, and the production xxhash64 family is benched
+    # separately (line_dedup_xxhash64).
+    from s3_log_parser_spark.functions.hashes import djb2_expr
+    from s3_log_parser_spark.operators.lines import line_dedup
+
+    d = _t(spark, sf, "documents").withColumn(
+        "text", F.replace("text", F.lit(" table "), F.lit("\n"))
+    )
+    out = line_dedup(d, key_mode="raw", max_docs=1, min_chars=1)
+    return out.select(
+        "doc_id",
+        djb2_expr("text").alias("clean_fp"),
+        "n_lines_kept",
+        "n_lines_dropped",
+    )
+
+
+@q(
+    "sample_mixture_counts",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_toks_sql('text')}) AS cnt FROM documents
+    ), c AS (
+      SELECT *, SUM(cnt) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    ), b AS (
+      SELECT *, CASE source WHEN 'src0' THEN 1200 WHEN 'src1' THEN 900
+                            WHEN 'src2' THEN 600 WHEN 'src3' THEN 300
+                END AS budget
+      FROM c
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(cnt) AS BIGINT) AS kept_tokens
+    FROM b WHERE cum - cnt < budget GROUP BY source
+    """,
+)
+def _mixture_counts(spark, sf):
+    # target-mixture sampling: 3000 total tokens at shares
+    # 400/300/200/100 per-mille over four named sources (budgets
+    # 1200/900/600/300); the 16 unnamed sources are dropped — a mixture
+    # is a whitelist. Same deterministic prefix-by-id rule as the plain
+    # budget sampler, one window per group.
+    from s3_log_parser_spark.functions.text import token_count
+    from s3_log_parser_spark.operators.sampling import sample_to_mixture
+
+    kept = sample_to_mixture(
+        _t(spark, sf, "documents"),
+        total_budget_tokens=3000,
+        weights={"src0": 400, "src1": 300, "src2": 200, "src3": 100},
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(token_count("text")).cast("long").alias("kept_tokens"),
+    )
+
+
+@q(
+    "shuffle_order_prefix",
+    f"""
+    WITH b AS (
+      SELECT doc_id,
+             (({_djb2_sql("'r5:' || CAST(doc_id AS VARCHAR)")}
+               * 2654435 + 7) % 4294967311) % 2147483647 AS m
+      FROM documents
+    ), k AS (
+      SELECT doc_id, (m * m) % 2147483647 AS sk FROM b
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY sk, doc_id) AS BIGINT) AS pos,
+           doc_id, sk
+    FROM k QUALIFY pos <= 32
+    """,
+)
+def _shuffle_prefix(spark, sf):
+    # seeded deterministic global shuffle: both engines reproduce the
+    # affine-mixed DJB2 permutation digit-for-digit; the query pins the
+    # first 32 rows of the seed-'r5' order. The global row_number window
+    # is the verification form — the production write path is
+    # deterministic_shuffle(shards=N): range-partitioned, no global
+    # merge (shard order IS the permutation).
+    from s3_log_parser_spark.operators.sampling import shuffle_key
+
+    keyed = _t(spark, sf, "documents").select(
+        "doc_id", shuffle_key("doc_id", seed="r5").alias("sk")
+    )
+    w = Window.orderBy("sk", "doc_id")
+    return (
+        keyed.withColumn("pos", F.row_number().over(w).cast("long"))
+        .filter(F.col("pos") <= 32)
+        .select("pos", "doc_id", "sk")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -334,6 +334,19 @@ def main() -> None:
         qtimes["corpus_prep_stats_xxhash64"] = round(
             time.perf_counter() - t0, 3
         )
+        # line-level (boilerplate) dedup under the production 64-bit
+        # key family; the oracle row (line_dedup_stats) pins the raw
+        # parity mode on the same derived multi-line view
+        from pyspark.sql import functions as SF
+
+        from s3_log_parser_spark.operators.lines import line_dedup
+
+        mdocs = docs.withColumn(
+            "text", SF.replace("text", SF.lit(" table "), SF.lit("\n"))
+        )
+        t0 = time.perf_counter()
+        line_dedup(mdocs, key_mode="xxhash64").count()
+        qtimes["line_dedup_xxhash64"] = round(time.perf_counter() - t0, 3)
 
     # field order matters: the driver records only the TAIL of stdout,
     # and r4's artifact lost the headline (value/turns_per_sec/stage_sec)

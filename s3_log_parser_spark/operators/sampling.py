@@ -2,8 +2,9 @@
 
 The last mile of a training-data pipeline, after dedup/filtering
 (operators/dedup.py, corpus.py): assign every document to a
-train/val/test split, cut each source down to its token budget, and
-estimate context-window packing. All three are deterministic,
+train/val/test split, cut each source down to its token budget (or to
+a target source mixture), draw the seeded global example shuffle, and
+estimate context-window packing. All of them are deterministic,
 engine-reproducible (DuckDB oracles in ``__spark_entry__.py``), and
 shaped for 100 TB:
 
@@ -123,6 +124,110 @@ def sample_to_token_budget(
         .filter(F.col("_cum") - F.col("_cnt") < budget_tokens)
         .drop("_cum", "_cnt")
     )
+
+
+def sample_to_mixture(
+    df: DataFrame,
+    total_budget_tokens: int,
+    weights: dict[str, int],
+    by: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    count_col: Column | None = None,
+) -> DataFrame:
+    """cut a corpus to a target SOURCE MIXTURE: each group named in
+    ``weights`` (per-mille shares of ``total_budget_tokens``) is
+    prefix-sampled to ``floor(total · w / 1000)`` tokens by the same
+    deterministic walk-in-id-order rule as
+    :func:`sample_to_token_budget`; groups absent from ``weights`` are
+    dropped entirely (a mixture is a whitelist). This is the "40% web,
+    30% code, …" knob every pretraining data recipe has — expressed as
+    one window per group plus a row-local map lookup, no extra shuffle
+    over the plain budget sampler. Weights need not sum to 1000 (they
+    are shares of the total, not a partition of it)."""
+    for g, w in weights.items():
+        if w < 0:
+            raise ValueError(f"sample_to_mixture: negative weight for {g!r}")
+    budget_map = F.create_map(
+        *[
+            F.lit(x)
+            for g, w in sorted(weights.items())
+            for x in (g, total_budget_tokens * w // 1000)
+        ]
+    )
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cnt = token_count(text_col) if count_col is None else count_col
+    cum = F.sum(cnt).over(w)
+    budget = F.element_at(budget_map, F.col(by))
+    # NULL budget (group not in the mixture) fails the comparison → dropped
+    return (
+        df.withColumn("_cum", cum)
+        .withColumn("_cnt", cnt)
+        .filter(F.col("_cum") - F.col("_cnt") < budget)
+        .drop("_cum", "_cnt")
+    )
+
+
+# squaring modulus for the shuffle key: the Mersenne prime 2^31 - 1.
+# The affine-mixed DJB2 alone is USELESS as an ordering key — for
+# sequential ids it is locally an arithmetic progression with step
+# A mod P, so adjacent rows invert at rate A/P ≈ 0.06% and a "shuffle"
+# ordered by it returns the input order (measured: ids 0..39 came back
+# exactly 0..39). Any LINEAR post-mix preserves that structure; the
+# cheapest nonlinearity both engines reproduce exactly is squaring mod
+# a prime: (b mod (2^31-1))² stays under 2^62 (no BIGINT overflow,
+# ANSI-safe) and maps arithmetic progressions to quadratic ones (on
+# 10k sequential ids: adjacent inversion 0.4996, worst stride-k order
+# bias 0.019, zero collisions).
+SHUFFLE_SQ_P = 2147483647
+
+
+def shuffle_key(
+    id_col: Column | str, seed: str = "v1", mode: str = "djb2"
+) -> Column:
+    """deterministic per-row shuffle key over ``(seed, id)``:
+    ``((A·DJB2(seed:id) + B) mod P mod (2^31-1))² mod (2^31-1)`` — the
+    split family's mix with a squaring step that actually scrambles
+    order (see ``SHUFFLE_SQ_P``). Reproducible digit-for-digit in the
+    DuckDB oracle; a new seed draws a fresh permutation;
+    ``mode="xxhash64"`` is the production family (same policy as
+    splits)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    if mode == "xxhash64":
+        return F.xxhash64(F.lit(seed), c)
+    h = djb2_expr(F.concat(F.lit(seed), F.lit(":"), c.cast("string")))
+    b = F.pmod(h * F.lit(SPLIT_MIX_A) + F.lit(SPLIT_MIX_B), F.lit(SPLIT_MIX_P))
+    m = F.pmod(b, F.lit(SHUFFLE_SQ_P))
+    return F.pmod(m * m, F.lit(SHUFFLE_SQ_P))
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "v1",
+    shards: int | None = None,
+    mode: str = "djb2",
+) -> DataFrame:
+    """order a corpus by a seeded hash of each row's id — the global
+    example shuffle a training run reads, reproducible across re-runs
+    and engines (ties broken by id, so the order is total even if two
+    ids collide on a key). With ``shards=N`` the result is range-
+    partitioned into N output shards sorted within each shard — ONE
+    exchange and no global merge, the 100 TB write path (shard k holds
+    keys below shard k+1, so reading shards in order IS the
+    permutation). Without ``shards`` a global ``orderBy`` is used —
+    fine for verification scale, but at 100 TB always pass shards.
+    Adds the key as ``shuffle_key``."""
+    keyed = df.withColumn("shuffle_key", shuffle_key(id_col, seed, mode))
+    if shards is not None:
+        return keyed.repartitionByRange(
+            shards, "shuffle_key", id_col
+        ).sortWithinPartitions("shuffle_key", id_col)
+    return keyed.orderBy("shuffle_key", id_col)
 
 
 def pack_sequences(

@@ -133,6 +133,85 @@ def test_pack_sequences_and_stats(spark, corpus):
         )
 
 
+def test_sample_to_mixture_budgets_and_whitelist(spark, corpus):
+    """mixture weights turn into per-group budgets (floor(total·w/1000));
+    groups without a weight are dropped entirely; the kept set per group
+    equals the plain budget sampler at that group's budget."""
+    from s3_log_parser_spark.operators.sampling import sample_to_mixture
+
+    kept = sample_to_mixture(
+        corpus, total_budget_tokens=50, weights={"s0": 600}
+    ).collect()
+    assert {r["source"] for r in kept} == {"s0"}  # s1 not in the mixture
+    expected = {
+        r["doc_id"]
+        for r in sample_to_token_budget(
+            corpus.filter(F.col("source") == "s0"),
+            budget_tokens=30,  # floor(50 * 600 / 1000)
+            by="source",
+        ).collect()
+    }
+    assert {r["doc_id"] for r in kept} == expected
+    # zero weight = named but empty -> dropped (budget 0 keeps nothing)
+    none = sample_to_mixture(
+        corpus, total_budget_tokens=50, weights={"s0": 0}
+    )
+    assert none.count() == 0
+    with pytest.raises(ValueError, match="negative weight"):
+        sample_to_mixture(corpus, 50, {"s0": -1})
+
+
+def test_deterministic_shuffle_seeded_permutation(spark, corpus):
+    from s3_log_parser_spark.operators.sampling import (
+        deterministic_shuffle,
+        shuffle_key,
+    )
+
+    order1 = [r["doc_id"] for r in deterministic_shuffle(corpus).collect()]
+    assert sorted(order1) == list(range(40))  # a permutation, no loss
+    assert order1 != list(range(40))  # actually shuffled
+    # same seed -> identical order; new seed -> a different permutation
+    again = [r["doc_id"] for r in deterministic_shuffle(corpus).collect()]
+    assert again == order1
+    other = [
+        r["doc_id"]
+        for r in deterministic_shuffle(corpus, seed="v2").collect()
+    ]
+    assert other != order1 and sorted(other) == list(range(40))
+    # key matches the pure-python reference (split mix + squaring)
+    from s3_log_parser_spark.functions.hashes import djb2_py
+    from s3_log_parser_spark.operators.sampling import (
+        SHUFFLE_SQ_P,
+        SPLIT_MIX_A,
+        SPLIT_MIX_B,
+        SPLIT_MIX_P,
+    )
+
+    got = corpus.select(
+        "doc_id", shuffle_key("doc_id", seed="v1").alias("k")
+    ).collect()
+    for r in got:
+        h = djb2_py(f"v1:{r['doc_id']}")
+        m = ((SPLIT_MIX_A * h + SPLIT_MIX_B) % SPLIT_MIX_P) % SHUFFLE_SQ_P
+        assert r["k"] == (m * m) % SHUFFLE_SQ_P
+
+
+def test_deterministic_shuffle_sharded_equals_global(spark, corpus):
+    """the range-partitioned write path (shards=N, no global merge)
+    yields the same permutation as the verification-mode global sort
+    when shards are read in partition order."""
+    from s3_log_parser_spark.operators.sampling import deterministic_shuffle
+
+    global_order = [
+        r["doc_id"] for r in deterministic_shuffle(corpus).collect()
+    ]
+    sharded = deterministic_shuffle(corpus, shards=4)
+    assert sharded.rdd.getNumPartitions() == 4
+    per_part = sharded.rdd.map(lambda r: r["doc_id"]).glom().collect()
+    flat = [d for part in per_part for d in part]
+    assert flat == global_order
+
+
 def test_hash_split_plan_has_no_exchange(spark, corpus):
     """hash_split must be row-local: the physical plan contains no
     Exchange (shuffle) — the property that makes assignments stable
