@@ -2271,6 +2271,7 @@ _DRIVER_PRIORITY = [
     "line_dedup_stats",
     "sample_mixture_counts",
     "shuffle_order_prefix",
+    "pack_examples_stats",
 ]
 
 # long-stable single-op rows rotated past the 50-query window: each was
@@ -2315,6 +2316,9 @@ _DRIVER_ROTATED_OUT = [
     "e8_two_level_platform",
     "w1_stable_turn_ordering",
     "dedup_ngram_jaccard",
+    # rotated for pack_examples_stats: the stopword-bank kernel stays
+    # exercised in-window via text_quality_features' stopword ratio
+    "text_lang_guess",
 ]
 
 
@@ -2672,6 +2676,61 @@ def _shuffle_prefix(spark, sf):
         keyed.withColumn("pos", F.row_number().over(w).cast("long"))
         .filter(F.col("pos") <= 32)
         .select("pos", "doc_id", "sk")
+    )
+
+
+@q(
+    "pack_examples_stats",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_transform({_toks_sql('text')}, t -> {_djb2_sql('t')}) AS ids
+      FROM documents
+    ), s AS (
+      SELECT doc_id, source, ids, CAST(len(ids) AS BIGINT) AS n,
+             SUM(len(ids)) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - len(ids) AS strt
+      FROM t WHERE len(ids) > 0
+    ), e AS (
+      SELECT source, ids, strt, n,
+             unnest(generate_series(CAST(FLOOR(strt / 64.0) AS BIGINT),
+                                    CAST(FLOOR((strt + n - 1) / 64.0)
+                                         AS BIGINT))) AS bin
+      FROM s
+    ), p AS (
+      SELECT source, bin, strt,
+             ids[(GREATEST(bin * 64, strt) - strt + 1)
+                 :(LEAST(strt + n, (bin + 1) * 64) - strt)] AS piece
+      FROM e
+    ), g AS (
+      SELECT source, bin AS pack_bin,
+             flatten(list(piece ORDER BY strt)) AS flat,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM p GROUP BY source, bin
+    )
+    SELECT source, pack_bin, CAST(len(flat) AS BIGINT) AS n_tokens, n_docs,
+           list_reduce(list_prepend(5381::BIGINT, flat),
+                       (a, b) -> (a * 33 + b) % 4294967296) AS ids_fp
+    FROM g
+    """,
+)
+def _pack_examples_stats(spark, sf):
+    # materialized packed examples: the per-source token stream cut
+    # into exact 64-token windows, docs SPLIT across boundaries (unlike
+    # pack_sequences' start-bin estimate). ids_fp pins the full id
+    # sequence of every window (DJB2 fold), so content and order are
+    # both oracle-checked. Default ids are the DJB2-of-token parity
+    # family; real-BPE ids are the production mode (benched).
+    from s3_log_parser_spark.operators.sampling import pack_examples
+
+    out = pack_examples(_t(spark, sf, "documents"), ctx_tokens=64)
+    fp = F.aggregate(
+        "input_ids",
+        F.lit(5381).cast("long"),
+        lambda acc, x: (acc * 33 + x) % F.lit(4294967296),
+    )
+    return out.select(
+        "source", "pack_bin", "n_tokens", "n_docs", fp.alias("ids_fp")
     )
 
 

@@ -347,6 +347,17 @@ def main() -> None:
         t0 = time.perf_counter()
         line_dedup(mdocs, key_mode="xxhash64").count()
         qtimes["line_dedup_xxhash64"] = round(time.perf_counter() - t0, 3)
+        # packed-example materialization under the PRODUCTION tokenizer
+        # (real 32k-merge BPE ids, 2048-token windows); the oracle row
+        # (pack_examples_stats) pins the DJB2-id parity family at ctx=64
+        from s3_log_parser_spark.functions.bpe import bpe_token_ids
+        from s3_log_parser_spark.operators.sampling import pack_examples
+
+        t0 = time.perf_counter()
+        pack_examples(
+            docs, ctx_tokens=2048, ids_col=bpe_token_ids("text")
+        ).count()
+        qtimes["pack_examples_bpe_2048"] = round(time.perf_counter() - t0, 3)
 
     # field order matters: the driver records only the TAIL of stdout,
     # and r4's artifact lost the headline (value/turns_per_sec/stage_sec)

@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashes import djb2_expr
-from ..functions.text import token_count
+from ..functions.text import token_count, tokens
 
 # per-mille split weights (sum to 1000)
 DEFAULT_SPLITS: tuple[tuple[str, int], ...] = (
@@ -257,6 +257,93 @@ def pack_sequences(
     return df.withColumn("n_tokens", cnt.cast("long")).withColumn(
         "pack_bin",
         F.floor((cum - cnt) / ctx_tokens).cast("long"),
+    )
+
+
+def pack_examples(
+    df: DataFrame,
+    ctx_tokens: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    by: str | None = "source",
+    ids_col: Column | None = None,
+) -> DataFrame:
+    """MATERIALIZE packed training examples: the per-group token
+    stream under deterministic id-order concatenation, cut into
+    fixed-length windows — one row per ``(group, pack_bin)`` with the
+    actual ``input_ids`` array (length ``ctx_tokens`` for every bin but
+    the group's last), ``n_tokens``, and ``n_docs`` contributing.
+    Unlike :func:`pack_sequences` (which only ESTIMATES bin counts by
+    the bin where each doc starts), documents straddling a window
+    boundary are split: each doc contributes the exact slice of its
+    ids that lands in each bin — this is the artifact a pretraining
+    run actually reads.
+
+    ``ids_col`` supplies the per-doc token-id array; the default is
+    the DJB2-of-whitespace-token ids (pure Catalyst, DuckDB-oracle
+    reproducible — the parity family). Pass
+    ``functions.bpe.bpe_token_ids(text_col)`` for real BPE ids (the
+    production tokenizer; benched, golden-pinned elsewhere).
+
+    Shape at scale: one window shuffle for the per-group running
+    offsets, a map-side explode of each doc into the bins it touches
+    (≈ 1 + n/ctx rows, no cross product), and ONE shuffle of the id
+    slices keyed by (group, bin). Token ids cross that exchange once —
+    the floor for materialization, since the output IS the ids. Empty
+    docs contribute nothing and are dropped before the window."""
+    part = [by] if by else []
+    if ids_col is None:
+        ids_col = F.transform(
+            tokens(text_col), lambda t: djb2_expr(t)
+        )
+    cols = ([F.col(by)] if by else []) + [F.col(id_col), ids_col.alias("_ids")]
+    base = (
+        df.select(*cols)
+        .withColumn("_n", F.size("_ids").cast("long"))
+        .filter(F.col("_n") > 0)
+    )
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = (
+        base.withColumn("_start", F.sum("_n").over(w) - F.col("_n"))
+        .withColumn("_end", F.col("_start") + F.col("_n"))
+    )
+    c = F.lit(ctx_tokens)
+    exploded = base.withColumn(
+        "pack_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_start") / c),
+                F.floor((F.col("_end") - 1) / c),
+            )
+        ),
+    )
+    lo = F.greatest(F.col("pack_bin") * c, F.col("_start"))
+    hi = F.least(F.col("_end"), (F.col("pack_bin") + 1) * c)
+    piece = F.slice(
+        "_ids", (lo - F.col("_start") + 1).cast("int"), (hi - lo).cast("int")
+    )
+    pieces = exploded.select(
+        *part,
+        F.col("pack_bin"),
+        F.col("_start").alias("_s"),
+        piece.alias("_piece"),
+    )
+    return (
+        pieces.groupBy(*part, "pack_bin")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_s", "_piece"))),
+                    lambda s: s["_piece"],
+                )
+            ).alias("input_ids"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+        .withColumn("n_tokens", F.size("input_ids").cast("long"))
     )
 
 

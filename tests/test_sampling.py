@@ -212,6 +212,66 @@ def test_deterministic_shuffle_sharded_equals_global(spark, corpus):
     assert flat == global_order
 
 
+def test_pack_examples_exact_windows(spark):
+    """materialized packing splits docs across window boundaries: the
+    concatenated per-group stream re-read bin-by-bin is byte-identical
+    to concatenating the docs, every bin but the last is exactly ctx
+    tokens, and n_docs counts contributors (a straddling doc counts in
+    both bins)."""
+    from s3_log_parser_spark.operators.sampling import pack_examples
+
+    rows = [
+        (0, "g", list(range(5))),        # 5 ids
+        (1, "g", [10, 11, 12, 13]),      # 4 ids
+        (2, "g", [20, 21, 22]),          # 3 ids
+        (3, "h", [7]),                   # lone short doc in another group
+        (4, "h", []),                    # empty doc contributes nothing
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, ids array<long>"
+    )
+    out = {
+        (r["source"], r["pack_bin"]): r
+        for r in pack_examples(
+            df, ctx_tokens=4, ids_col=F.col("ids")
+        ).collect()
+    }
+    assert out[("g", 0)]["input_ids"] == [0, 1, 2, 3]
+    assert out[("g", 1)]["input_ids"] == [4, 10, 11, 12]  # doc0|doc1 split
+    assert out[("g", 2)]["input_ids"] == [13, 20, 21, 22]
+    assert out[("g", 1)]["n_docs"] == 2 and out[("g", 2)]["n_docs"] == 2
+    assert all(r["n_tokens"] == 4 for k, r in out.items() if k[0] == "g")
+    assert out[("h", 0)]["input_ids"] == [7] and out[("h", 0)]["n_tokens"] == 1
+    assert len(out) == 4  # the empty doc created no bin
+
+
+def test_pack_examples_default_ids_and_bpe_mode(spark, corpus):
+    """default ids are DJB2-of-token (the oracle family); full bins are
+    exactly ctx long and the whole stream length equals the corpus
+    token total. The real-BPE production mode runs end-to-end with the
+    same invariants."""
+    from s3_log_parser_spark.functions.bpe import bpe_token_ids
+    from s3_log_parser_spark.operators.sampling import pack_examples
+
+    out = pack_examples(corpus, ctx_tokens=32).collect()
+    total = sum(len(r["text"].split()) for r in corpus.collect())
+    assert sum(r["n_tokens"] for r in out) == total
+    for src in {r["source"] for r in out}:
+        bins = sorted(
+            (r for r in out if r["source"] == src),
+            key=lambda r: r["pack_bin"],
+        )
+        assert [r["pack_bin"] for r in bins] == list(range(len(bins)))
+        assert all(r["n_tokens"] == 32 for r in bins[:-1])
+    bpe = pack_examples(
+        corpus, ctx_tokens=32, ids_col=bpe_token_ids("text")
+    ).collect()
+    short = [r for r in bpe if r["n_tokens"] != 32]
+    # only group-final bins may be short
+    assert len(short) <= len({r["source"] for r in bpe})
+    assert all(0 < r["n_tokens"] <= 32 for r in bpe)
+
+
 def test_hash_split_plan_has_no_exchange(spark, corpus):
     """hash_split must be row-local: the physical plan contains no
     Exchange (shuffle) — the property that makes assignments stable
