@@ -2272,6 +2272,7 @@ _DRIVER_PRIORITY = [
     "sample_mixture_counts",
     "shuffle_order_prefix",
     "pack_examples_stats",
+    "text_normalize_stats",
 ]
 
 # long-stable single-op rows rotated past the 50-query window: each was
@@ -2319,6 +2320,10 @@ _DRIVER_ROTATED_OUT = [
     # rotated for pack_examples_stats: the stopword-bank kernel stays
     # exercised in-window via text_quality_features' stopword ratio
     "text_lang_guess",
+    # rotated for text_normalize_stats: the DJB2-fold kernel it pins is
+    # exercised in-window by e2 plus every *_fp fingerprint column
+    # (line_dedup_stats, pack_examples_stats, text_normalize_stats)
+    "text_fingerprint",
 ]
 
 
@@ -2731,6 +2736,64 @@ def _pack_examples_stats(spark, sf):
     )
     return out.select(
         "source", "pack_bin", "n_tokens", "n_docs", fp.alias("ids_fp")
+    )
+
+
+@q(
+    "text_normalize_stats",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             '  A' || chr(769) || 'B' || chr(9) || chr(1) || 'C  ' || text
+               AS messy
+      FROM documents
+    ), n AS (
+      SELECT doc_id, messy,
+             nfc_normalize(
+               lower(
+                 regexp_replace(
+                   trim(regexp_replace(messy,
+                        '[ \\t\\n\\r\\x0B\\x0C]+', ' ', 'g')),
+                   '[\\x00-\\x08\\x0E-\\x1F\\x7F]', '', 'g')))
+               AS norm
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(length(messy) AS BIGINT) AS n_chars_messy,
+           CAST(length(norm) AS BIGINT) AS n_chars_norm,
+           {_djb2_sql('norm')} AS norm_fp
+    FROM n
+    """,
+)
+def _text_normalize_stats(spark, sf):
+    # pre-hash text cleanup + Unicode NFC, cross-engine: each doc is
+    # prefixed with a deterministic mess ('  A' + combining acute +
+    # 'B' + TAB + \x01 control + 'C  ') built identically in both
+    # engines. The pipeline is normalize (collapse ws, strip ctrl,
+    # lower) then NFC — 'a'+U+0301 composes to 'á', so n_chars_norm
+    # and the per-char DJB2 fold (Spark ascii == DuckDB ord on the
+    # resulting codepoints) pin the full normalized content.
+    from s3_log_parser_spark.functions.hashes import djb2_expr
+    from s3_log_parser_spark.functions.text import nfc_text, normalize_text
+
+    d = _t(spark, sf, "documents").withColumn(
+        "messy",
+        F.concat(
+            F.lit("  A"),
+            F.lit("́"),  # combining acute: composes with 'A' under NFC
+            F.lit("B"),
+            F.lit("\t"),
+            F.lit("\x01"),
+            F.lit("C  "),
+            F.col("text"),
+        ),
+    )
+    norm = nfc_text(normalize_text("messy"))
+    return d.select(
+        "doc_id",
+        F.length("messy").cast("long").alias("n_chars_messy"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        djb2_expr(norm).alias("norm_fp"),
     )
 
 

@@ -2,7 +2,9 @@
 quality scoring, language-ID heuristic, document fingerprinting.
 
 All pure-Catalyst (higher-order array functions over the token array —
-whole-stage codegen, zero Python). Every function has a matching
+whole-stage codegen, zero Python), except :func:`nfc_text`, the one
+necessarily-Python step (Unicode NFC; Arrow-batched). Every function
+has a matching
 DuckDB-SQL form in ``__spark_entry__.py`` oracles; arithmetic is kept
 integer/fold-left so both engines produce identical values.
 """
@@ -157,3 +159,64 @@ def pii_redact(col: Column | str) -> Column:
     for kind, pat in PII_PATTERNS.items():
         out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
     return out
+
+
+# whitespace / control classes spelled out as explicit char classes:
+# Java regex \s and RE2 \s disagree on vertical tab (Java includes
+# \x0B, RE2 does not), so the oracle would silently diverge on it.
+# Explicit classes mean both engines compile the identical automaton.
+_WS_RUN_RE = r"[ \t\n\r\x0B\x0C]+"
+_CTRL_RE = r"[\x00-\x08\x0E-\x1F\x7F]"
+
+
+def normalize_text(
+    col: Column | str,
+    lower: bool = True,
+    collapse_ws: bool = True,
+    strip_ctrl: bool = True,
+) -> Column:
+    """the standard pre-hash text cleanup every dedup/quality stage
+    runs first: collapse whitespace runs (tab/newline/CR/VT/FF → one
+    space, ends trimmed), strip remaining NON-whitespace control
+    characters, lowercase. Pure Catalyst, NULL → ''. Whitespace is
+    collapsed BEFORE control-stripping on purpose: \\n and \\t are both
+    whitespace and control, and must become spaces, not vanish
+    ("a\\nb" → "a b", never "ab"). Unicode canonicalization is the
+    separate :func:`nfc_text` (the one Python step; compose as
+    ``nfc_text(normalize_text(c))`` so lowering happens before
+    combining marks are composed)."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    if collapse_ws:
+        c = F.trim(F.regexp_replace(c, _WS_RUN_RE, " "))
+    if strip_ctrl:
+        c = F.regexp_replace(c, _CTRL_RE, "")
+    if lower:
+        c = F.lower(c)
+    return c
+
+
+def nfc_text(col: Column | str) -> Column:
+    """Unicode NFC canonicalization (combining sequences → precomposed
+    forms — 'a'+U+0301 and 'á' must hash identically before any dedup).
+    The ONE Python step in the text suite: Spark has no built-in
+    normalizer, so this is an Arrow-batched pandas UDF over
+    ``unicodedata.normalize``; the DuckDB oracle's ``nfc_normalize``
+    implements the same UAX #15 algorithm (parity pytest-pinned).
+    NULL passes through as NULL."""
+    import unicodedata
+
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    # no type annotations on purpose: `from __future__ import
+    # annotations` stringifies them, and pandas_udf cannot resolve
+    # 'pd.Series' strings against this nested scope — the returnType
+    # argument alone carries the signature
+    @pandas_udf(T.StringType())
+    def _nfc(s):
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _nfc(c)

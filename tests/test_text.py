@@ -256,3 +256,66 @@ def test_pii_oracle_patterns_pinned():
     sql = entrymod.oracle_sql()["text_pii_counts"]
     for pat in PII_PATTERNS.values():
         assert pat in sql
+
+
+def test_normalize_text_cleanup_rules(spark):
+    from s3_log_parser_spark.functions.text import normalize_text
+
+    rows = [
+        (0, "  Hello\t\tWORLD \n"),
+        (1, "a\nb"),                      # newline becomes a space
+        (2, "x\x00y\x01z"),               # bare controls vanish
+        (3, None),                        # NULL -> ''
+        (4, "tab\x0Bvert\x0Cform"),       # VT/FF are whitespace here
+    ]
+    df = spark.createDataFrame(rows, "i long, s string")
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", normalize_text("s").alias("n")).collect()
+    }
+    assert got[0] == "hello world"
+    assert got[1] == "a b"  # NOT 'ab' — ws collapse runs before ctrl strip
+    assert got[2] == "xyz"
+    assert got[3] == ""
+    assert got[4] == "tab vert form"
+    # knobs off = passthrough of that step
+    keep_case = {
+        r["i"]: r["n"]
+        for r in df.select(
+            "i", normalize_text("s", lower=False).alias("n")
+        ).collect()
+    }
+    assert keep_case[0] == "Hello WORLD"
+
+
+def test_nfc_text_matches_unicodedata_and_duckdb(spark):
+    import unicodedata
+
+    import duckdb
+
+    from s3_log_parser_spark.functions.text import nfc_text
+
+    samples = [
+        "ábc",          # combining acute -> á
+        "être",         # circumflex
+        "already é composed",
+        "plain ascii",
+        "Å angstrom",    # Å (U+212B) -> U+00C5 under NFC
+    ]
+    # guard: the first samples must be genuinely non-NFC input
+    assert samples[0] != unicodedata.normalize("NFC", samples[0])
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)],
+                               "i long, s string")
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", nfc_text("s").alias("n")).collect()
+    }
+    for i, s in enumerate(samples):
+        expect = unicodedata.normalize("NFC", s)
+        assert got[i] == expect, s
+        # and the DuckDB oracle function agrees (UAX #15 parity)
+        (dk,) = duckdb.sql("select nfc_normalize(?)", params=[s]).fetchone()
+        assert dk == expect, s
+    # NULL passes through
+    n = spark.createDataFrame([(0, None)], "i long, s string")
+    assert n.select(nfc_text("s").alias("n")).collect()[0]["n"] is None
