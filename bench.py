@@ -358,6 +358,23 @@ def main() -> None:
             docs, ctx_tokens=2048, ids_col=bpe_token_ids("text")
         ).count()
         qtimes["pack_examples_bpe_2048"] = round(time.perf_counter() - t0, 3)
+        # decontamination under the production shingle family (the
+        # oracle row decontamination_hits pins the djb2 parity family
+        # on the same corpus/benchmark split)
+        from s3_log_parser_spark.operators.decontam import (
+            contamination_hits,
+        )
+
+        t0 = time.perf_counter()
+        contamination_hits(
+            docs.filter(SF.col("doc_id") >= 50),
+            docs.filter(SF.col("doc_id") < 50),
+            n=8,
+            mode="xxhash64",
+        ).count()
+        qtimes["decontamination_hits_xxhash64"] = round(
+            time.perf_counter() - t0, 3
+        )
 
     # field order matters: the driver records only the TAIL of stdout,
     # and r4's artifact lost the headline (value/turns_per_sec/stage_sec)

@@ -29,15 +29,20 @@ def contamination_hits(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 13,
+    mode: str = "djb2",
 ) -> DataFrame:
     """per-doc count of distinct word n-grams shared with the benchmark
-    set — (id, n_hits), only docs with ≥1 hit."""
+    set — (id, n_hits), only docs with ≥1 hit. ``mode`` selects the
+    shingle hash family (same policy as the dedup suite: ``djb2`` is
+    the oracle-parity family, ``xxhash64`` the 64-bit codegen
+    production family — both sides must use the same one)."""
     bench = (
-        benchmark.select(F.explode(shingle_hashes(text_col, n)).alias("h"))
-        .distinct()
+        benchmark.select(
+            F.explode(shingle_hashes(text_col, n, mode)).alias("h")
+        ).distinct()
     )
     post = docs.select(
-        F.col(id_col), F.explode(shingle_hashes(text_col, n)).alias("h")
+        F.col(id_col), F.explode(shingle_hashes(text_col, n, mode)).alias("h")
     )
     return (
         post.join(F.broadcast(bench), "h")
@@ -53,11 +58,12 @@ def decontaminate(
     text_col: str = "text",
     n: int = 13,
     max_hits: int = 0,
+    mode: str = "djb2",
 ) -> DataFrame:
     """drop docs sharing more than ``max_hits`` n-grams with the
     benchmark (default: any overlap)."""
     flagged = (
-        contamination_hits(docs, benchmark, id_col, text_col, n)
+        contamination_hits(docs, benchmark, id_col, text_col, n, mode)
         .filter(F.col("n_hits") > max_hits)
         .select(id_col)
     )

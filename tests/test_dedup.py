@@ -645,6 +645,15 @@ def test_decontamination(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan  # corpus side never shuffles
+    # production 64-bit family finds the same contamination set (both
+    # sides shingle under the same family, so hits correspond 1:1)
+    prod = {
+        r["doc_id"]: r["n_hits"]
+        for r in contamination_hits(
+            docs, bench, n=5, mode="xxhash64"
+        ).collect()
+    }
+    assert prod == hits
 
 
 def test_incremental_dedup_persisted_index(spark, tmp_path):
