@@ -1027,11 +1027,24 @@ def append_to_dedup_index(
     and append them. Appended digests may repeat an existing digest
     across batches — harmless, the exact leg is an anti-join (presence
     test); compact with a distinct rewrite during table maintenance if
-    storage matters. Cost: O(batch), the history is never touched."""
+    storage matters. Cost: O(batch), the history is never touched.
+
+    The accepted frame's lineage is TRUNCATED (eager localCheckpoint)
+    before any write. ``accepted_df`` normally comes out of
+    :func:`incremental_dedup`, so its plan READS the very index tables
+    this function appends to; without the checkpoint the first append
+    (digests) makes the batch's own digests "history", and any
+    re-execution of the plan — Spark's ``recacheByPath`` re-derives
+    cached plans that read a just-written path, which is exactly what
+    happens when the caller persisted the survivors (the streaming
+    ingest does) — re-evaluates the accepted set to EMPTY, so the
+    sigs/shingles appends silently write zero rows. Found by the
+    streaming two-batch test: batch 2 never saw batch 1's survivors."""
+    snap = accepted_df.localCheckpoint(eager=True)
     spark = accepted_df.sparkSession
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     inc = build_dedup_index(
-        accepted_df, id_col, text_col, meta["n"], meta["k"], meta["mode"]
+        snap, id_col, text_col, meta["n"], meta["k"], meta["mode"]
     )
     inc.digests.write.mode("append").parquet(f"{path}/digests")
     inc.sigs.write.mode("append").parquet(f"{path}/sigs")

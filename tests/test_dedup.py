@@ -882,3 +882,44 @@ def test_dup_clusters_pointer_doubling_long_chain(spark):
         for r in dup_clusters(chain, max_iter=8).collect()
     }
     assert got == {i: 0 for i in range(41)}
+
+
+def test_append_to_dedup_index_with_persisted_survivors(spark, tmp_path):
+    """regression: a PERSISTED survivor frame (whose plan reads the
+    index tables) must still append all three index frames. Without
+    lineage truncation, the digests append recaches the survivor plan
+    against the just-grown digests table — the batch's own digest is
+    now 'history' — and the sigs/shingles appends silently write zero
+    rows (the streaming two-batch bug)."""
+    from s3_log_parser_spark.operators.dedup import (
+        append_to_dedup_index,
+        build_dedup_index,
+        incremental_dedup,
+        read_dedup_index,
+        write_dedup_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    seed = spark.createDataFrame(
+        [(0, "seed history document with plenty of distinct words here")],
+        "doc_id long, text string",
+    )
+    write_dedup_index(build_dedup_index(seed), idx)
+    batch = spark.createDataFrame(
+        [(7, "a genuinely novel text about glacier caves and winter light")],
+        "doc_id long, text string",
+    )
+    acc = incremental_dedup(
+        batch, index=read_dedup_index(spark, idx), threshold_x1000=500
+    ).persist()
+    try:
+        assert {r["doc_id"] for r in acc.collect()} == {7}
+        append_to_dedup_index(acc, idx)
+    finally:
+        acc.unpersist()
+    assert spark.read.parquet(f"{idx}/digests").count() == 2
+    assert {r["id"] for r in spark.read.parquet(f"{idx}/sigs").collect()} == {0, 7}
+    shing_ids = {
+        r["id"] for r in spark.read.parquet(f"{idx}/shingles").collect()
+    }
+    assert shing_ids == {0, 7}

@@ -245,3 +245,78 @@ def test_stream_exact_dedup_resumes_from_checkpoint(spark, tmp_path_factory):
     }
     assert set(keys) == batch_keys
     full.unpersist()
+
+
+def test_streaming_ingest_incremental_dedup(spark, tmp_path):
+    """the streaming twin of the daily ingestion loop: two micro-batches
+    (maxFilesPerTrigger=1, mtime-ordered), each deduped against the
+    persisted index — batch 2 must see batch 1's ACCEPTED docs in the
+    index (the mid-stream append), and replayed-batch output lands in
+    per-batch partitions."""
+    import os
+    import time
+
+    from s3_log_parser_spark.operators.dedup import (
+        build_dedup_index,
+        write_dedup_index,
+    )
+    from s3_log_parser_spark.streaming.ingest import start_ingest
+
+    hist_text = (
+        "the quick brown fox jumps over one lazy dog while seven other "
+        "animals watch from a distant hill"
+    )
+    fresh1 = (
+        "totally fresh content about sailing boats across quiet "
+        "northern lakes during long autumn evenings"
+    )
+    fresh2 = (
+        "entirely new discussion of mountain railway timetables in "
+        "early spring snow"
+    )
+    idx_dir = str(tmp_path / "idx")
+    seed = spark.createDataFrame([(0, hist_text)], "doc_id long, text string")
+    write_dedup_index(build_dedup_index(seed), idx_dir)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # batch 1: a dup of history, an intra-batch dup pair, one fresh doc
+    b1 = spark.createDataFrame(
+        [(100, hist_text), (101, fresh1), (102, fresh1)],
+        "doc_id long, text string",
+    ).coalesce(1)
+    b1.write.parquet(f"{src}/f1")
+    time.sleep(0.01)
+    # batch 2: near-dup of a batch-1 SURVIVOR + one genuinely new doc
+    b2 = spark.createDataFrame(
+        [(200, fresh1.replace("quiet", "silent")), (201, fresh2)],
+        "doc_id long, text string",
+    ).coalesce(1)
+    b2.write.parquet(f"{src}/f2")
+    # force strict mtime order f1 < f2 so micro-batch order is stable
+    now = time.time()
+    for i, d in enumerate(("f1", "f2")):
+        for f in os.listdir(f"{src}/{d}"):
+            os.utime(f"{src}/{d}/{f}", (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = str(tmp_path / "out")
+    q = start_ingest(
+        stream, idx_dir, out, str(tmp_path / "ckpt"), trigger_once=True
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(f"{out}/accepted")
+    rows = {r["doc_id"]: r["_batch"] for r in got.collect()}
+    # 100 dropped (history dup), 101/102 collapse to 101 (intra-batch),
+    # 200 dropped (near-dup of 101 via the mid-stream index append),
+    # 201 accepted
+    assert set(rows) == {101, 201}
+    assert rows[101] != rows[201]  # distinct micro-batch partitions
+    # and the index grew by exactly the accepted docs' signatures
+    sigs = spark.read.parquet(f"{idx_dir}/sigs")
+    assert {r["id"] for r in sigs.collect()} == {0, 101, 201}
