@@ -128,6 +128,25 @@ def cmd_prep(args) -> None:
     # progress counts and corpus_prep all read the materialized result
     # (ADVICE r4: up to ~5 full recomputes of the costliest operators)
     stages = []
+    if args.line_dedup:
+        # boilerplate removal before document-level dedup: a shared
+        # nav-bar line would otherwise make distinct docs look like
+        # near-dups of each other
+        from .operators.lines import line_dedup
+
+        carry = tuple(
+            c for c in ("lang", "source") if c in docs.columns
+        )
+        n0 = docs.count()
+        docs = line_dedup(
+            docs,
+            delim=args.line_delim,
+            max_docs=args.line_max_docs,
+            key_mode=args.hash_mode,
+            carry_cols=carry,
+        ).drop("n_lines_kept", "n_lines_dropped").persist()
+        stages.append(docs)
+        print(f"line dedup: {n0} docs rewritten (boilerplate lines removed)")
     if args.history:
         # ingestion-mode: dedup the batch against everything already
         # accepted before in-batch prep
@@ -145,7 +164,9 @@ def cmd_prep(args) -> None:
 
         bench = spark.read.parquet(args.benchmark)
         n0 = docs.count()
-        docs = decontaminate(docs, bench, n=args.decontam_n).persist()
+        docs = decontaminate(
+            docs, bench, n=args.decontam_n, mode=args.hash_mode
+        ).persist()
         stages.append(docs)
         print(f"decontamination: {n0} -> {docs.count()} docs")
     res = corpus_prep(
@@ -156,7 +177,41 @@ def cmd_prep(args) -> None:
         policy=args.policy,
         mode=args.hash_mode,
     )
-    res.clean.write.mode("overwrite").parquet(f"{args.output}/clean")
+    clean = res.clean
+    if args.mixture:
+        # "40% web, 30% code" knob: per-mille shares of --total-budget
+        from .operators.sampling import sample_to_mixture
+
+        weights = {}
+        for part in args.mixture.split(","):
+            src, _, w = part.partition("=")
+            weights[src.strip()] = int(w)
+        clean = sample_to_mixture(
+            clean, total_budget_tokens=args.total_budget, weights=weights
+        )
+    if args.shuffle_seed:
+        # seeded deterministic example order; shard-major read order is
+        # the permutation (no global merge)
+        from .operators.sampling import deterministic_shuffle
+
+        clean = deterministic_shuffle(
+            clean,
+            seed=args.shuffle_seed,
+            shards=args.shards,
+            mode="xxhash64" if args.hash_mode == "xxhash64" else "djb2",
+        )
+    clean.write.mode("overwrite").parquet(f"{args.output}/clean")
+    if args.pack_ctx:
+        # materialized fixed-length training windows over the written
+        # clean corpus (read back so packing never re-runs the prep DAG)
+        from .functions.bpe import bpe_token_ids
+        from .operators.sampling import pack_examples
+
+        stored = spark.read.parquet(f"{args.output}/clean")
+        ids = bpe_token_ids("text") if args.pack_ids == "bpe" else None
+        pack_examples(stored, ctx_tokens=args.pack_ctx, ids_col=ids).write.mode(
+            "overwrite"
+        ).parquet(f"{args.output}/packed")
     res.stats.coalesce(1).write.mode("overwrite").parquet(f"{args.output}/stats")
     # print budgets from the just-written stats table (not res.stats,
     # which would re-run the whole prep DAG a third time)
@@ -230,6 +285,22 @@ def main(argv: list[str] | None = None) -> None:
     pr.add_argument("--benchmark", help="parquet of eval docs "
                     "(n-gram decontamination)")
     pr.add_argument("--decontam-n", type=int, default=13)
+    pr.add_argument("--line-dedup", action="store_true",
+                    help="remove cross-document boilerplate lines first")
+    pr.add_argument("--line-delim", default="\n")
+    pr.add_argument("--line-max-docs", type=int, default=1)
+    pr.add_argument("--mixture", help="per-mille source shares, e.g. "
+                    "'src0=400,src1=300' (sources not named are dropped)")
+    pr.add_argument("--total-budget", type=int, default=1_000_000,
+                    help="token budget the --mixture shares divide")
+    pr.add_argument("--shuffle-seed", help="seeded deterministic "
+                    "example-order shuffle of the clean corpus")
+    pr.add_argument("--shards", type=int, default=None,
+                    help="range-partitioned output shards for the shuffle")
+    pr.add_argument("--pack-ctx", type=int, default=None,
+                    help="materialize packed input_ids windows of this size")
+    pr.add_argument("--pack-ids", choices=["bpe", "djb2"], default="bpe",
+                    help="token ids for packing (bpe = real tokenizer)")
 
     args = p.parse_args(argv)
     {"gen": cmd_gen, "parse": cmd_parse, "extract": cmd_extract,

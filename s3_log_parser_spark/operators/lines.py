@@ -63,14 +63,20 @@ def _line_key(mode: str):
 
 
 def _exploded_lines(
-    df: DataFrame, id_col: str, text_col: str, delim: str
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    delim: str,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     # F.split takes a REGEX — escape the literal delimiter (DuckDB's
     # string_split is literal; un-escaped metacharacters would silently
     # diverge the two engines)
     parts = F.split(F.coalesce(F.col(text_col), F.lit("")), re.escape(delim))
     return df.select(
-        F.col(id_col), F.posexplode(parts).alias("pos", "line")
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        F.posexplode(parts).alias("pos", "line"),
     )
 
 
@@ -107,6 +113,7 @@ def line_dedup(
     min_chars: int = 1,
     key_mode: str = "xxhash64",
     freq: DataFrame | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """remove every line that occurs in more than ``max_docs`` distinct
     documents; keep surviving lines in original order. Returns one row
@@ -119,9 +126,13 @@ def line_dedup(
 
     ``freq=`` accepts a precomputed :func:`line_frequencies` frame (the
     persisted-table seam); by default it is derived from ``df`` in the
-    same lazy DAG.
+    same lazy DAG. ``carry_cols`` names additional per-doc columns
+    (source, lang, …) to carry through to the output — they ride the
+    explode (small columns duplicated per line, cheaper than a second
+    corpus-wide join to recover them afterwards) and come back via
+    ``first()`` in the reassembly aggregate.
     """
-    ex = _exploded_lines(df, id_col, text_col, delim)
+    ex = _exploded_lines(df, id_col, text_col, delim, carry_cols)
     if freq is None:
         freq = line_frequencies(df, id_col, text_col, delim, min_chars, key_mode)
     drop_keys = freq.filter(F.col("n_docs") > max_docs).select(
@@ -147,6 +158,7 @@ def line_dedup(
             )
         ).alias("_ls"),
         F.count("*").cast("long").alias("_n_total"),
+        *[F.first(c).alias(c) for c in carry_cols],
     )
     kept_n = F.size("_ls").cast("long")
     return agg.select(
@@ -154,6 +166,7 @@ def line_dedup(
         F.concat_ws(delim, F.transform("_ls", lambda s: s["line"])).alias(
             text_col
         ),
+        *[F.col(c) for c in carry_cols],
         kept_n.alias("n_lines_kept"),
         (F.col("_n_total") - kept_n).alias("n_lines_dropped"),
     )

@@ -136,3 +136,23 @@ def test_line_dedup_custom_delimiter_regex_escaped(spark):
         for r in line_dedup(df, delim="|").collect()
     }
     assert out == {0: "only zero", 1: "only one"}
+
+
+def test_line_dedup_carry_cols(spark):
+    """per-doc metadata named in carry_cols survives the reassembly
+    (rides the explode, comes back via first()) — what the prep CLI
+    needs to keep source/lang through the line-dedup pre-stage."""
+    rows = [
+        (0, "shared line\nmine zero", "en", "web"),
+        (1, "shared line\nmine one", "de", "code"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(df, carry_cols=("lang", "source")).collect()
+    }
+    assert out[0]["text"] == "mine zero"
+    assert out[0]["lang"] == "en" and out[0]["source"] == "web"
+    assert out[1]["lang"] == "de" and out[1]["source"] == "code"
