@@ -1906,6 +1906,90 @@ def _inc_dedup_idx(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+# Bloom prefilter (operators/bloom.py): m = 2^16 bits, k = 5, djb2
+# parity family. The oracle rebuilds the BITMAP itself (word_idx →
+# bit_or of masks) and re-derives every probe, so the per-doc maybe
+# flag pins the filter's exact bit content, double-hash arithmetic
+# (h1 = djb2(dig) mod m, h2 = djb2(dig||'#2') mod m | 1), word/mask
+# layout, and the no-false-negative contract (maybe ≥ in_history).
+_BLOOM_M = 1 << 16
+@q(
+    "bloom_prefilter_stats",
+    f"""
+    WITH hist AS (
+      SELECT DISTINCT md5(lower(trim(text))) AS dig
+      FROM documents WHERE doc_id % 3 <> 0
+    ), hh AS (
+      SELECT dig,
+             {_djb2_sql('dig')} % {_BLOOM_M} AS h1,
+             ({_djb2_sql("dig || '#2'")} % {_BLOOM_M}) | 1 AS h2
+      FROM hist
+    ), pos AS (
+      SELECT (h1 + i * h2) % {_BLOOM_M} AS p
+      FROM hh, unnest(generate_series(0, 4)) AS t(i)
+    ), bm AS (
+      SELECT p // 32 AS word_idx,
+             bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS word
+      FROM pos GROUP BY 1
+    ), batch AS (
+      SELECT doc_id, md5(lower(trim(text))) AS dig
+      FROM documents WHERE doc_id % 2 = 0
+    ), bh AS (
+      SELECT doc_id, dig,
+             {_djb2_sql('dig')} % {_BLOOM_M} AS h1,
+             ({_djb2_sql("dig || '#2'")} % {_BLOOM_M}) | 1 AS h2
+      FROM batch
+    ), bp AS (
+      SELECT doc_id, dig, (h1 + i * h2) % {_BLOOM_M} AS p
+      FROM bh, unnest(generate_series(0, 4)) AS t(i)
+    ), chk AS (
+      SELECT doc_id, dig,
+             bool_and(
+               (coalesce(word, 0) & (1::BIGINT << CAST(p % 32 AS INTEGER)))
+               = (1::BIGINT << CAST(p % 32 AS INTEGER))) AS maybe
+      FROM bp LEFT JOIN bm ON bp.p // 32 = bm.word_idx
+      GROUP BY doc_id, dig
+    )
+    SELECT c.doc_id,
+           CAST(c.maybe AS BIGINT) AS bloom_maybe,
+           CAST(h.dig IS NOT NULL AS BIGINT) AS in_history
+    FROM chk c LEFT JOIN hist h ON c.dig = h.dig
+    """,
+)
+def _bloom_prefilter(spark, sf):
+    # the ingestion fast path's membership sidecar, parity mode: build
+    # the bitmap over history digests, probe the batch, and report per
+    # doc whether the filter says maybe vs whether the digest truly is
+    # in history (fixture exact-dup texts give real positives)
+    from s3_log_parser_spark.operators.bloom import bloom_build, bloom_probe
+
+    docs = _t(spark, sf, "documents")
+    dig = F.md5(F.lower(F.trim(F.col("text"))))
+    hist = (
+        docs.filter(F.col("doc_id") % 3 != 0)
+        .select(dig.alias("_dig"))
+        .distinct()
+    )
+    # materialize the (tiny) bitmap once: each of the k probe joins
+    # embeds its own copy of the build subtree, so a lazy bitmap would
+    # re-fold the history digests k times (in production the bitmap is
+    # the persisted sidecar parquet, not a live plan)
+    bm = bloom_build(hist, "_dig", _BLOOM_M, 5, "djb2").localCheckpoint()
+    batch = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", dig.alias("_dig")
+    )
+    probed = bloom_probe(batch, bm, "_dig", _BLOOM_M, 5, "djb2")
+    hits = hist.withColumnRenamed("_dig", "_hdig")
+    return (
+        probed.join(hits, probed["_dig"] == hits["_hdig"], "left")
+        .select(
+            "doc_id",
+            F.col("bloom_maybe").cast("long").alias("bloom_maybe"),
+            F.col("_hdig").isNotNull().cast("long").alias("in_history"),
+        )
+    )
+
+
 @q(
     "key_skew_profile",
     f"""
@@ -2273,6 +2357,7 @@ _DRIVER_PRIORITY = [
     "shuffle_order_prefix",
     "pack_examples_stats",
     "text_normalize_stats",
+    "bloom_prefilter_stats",
 ]
 
 # long-stable single-op rows rotated past the 50-query window: each was
@@ -2324,6 +2409,10 @@ _DRIVER_ROTATED_OUT = [
     # exercised in-window by e2 plus every *_fp fingerprint column
     # (line_dedup_stats, pack_examples_stats, text_normalize_stats)
     "text_fingerprint",
+    # rotated for bloom_prefilter_stats: e2's DJB2 kernel stays pinned
+    # in-window by the bloom probe itself (h1/h2 are djb2 folds the
+    # oracle recomputes per doc) and by every *_fp column
+    "e2_djb2_dictionary_hash",
 ]
 
 

@@ -147,7 +147,20 @@ def cmd_prep(args) -> None:
         ).drop("n_lines_kept", "n_lines_dropped").persist()
         stages.append(docs)
         print(f"line dedup: {n0} docs rewritten (boilerplate lines removed)")
-    if args.history:
+    if args.index:
+        # ingestion-mode against a persisted DedupIndex (with Bloom
+        # sidecars if the index was built with them): per-batch cost
+        # never re-derives history state
+        from .operators.dedup import incremental_dedup, read_dedup_index
+
+        idx = read_dedup_index(spark, args.index)
+        n0 = docs.count()
+        docs = incremental_dedup(
+            docs, index=idx, threshold_x1000=args.near_threshold
+        ).persist()
+        stages.append(docs)
+        print(f"index dedup: {n0} -> {docs.count()} docs")
+    elif args.history:
         # ingestion-mode: dedup the batch against everything already
         # accepted before in-batch prep
         from .operators.dedup import incremental_dedup
@@ -282,6 +295,10 @@ def main(argv: list[str] | None = None) -> None:
     )
     pr.add_argument("--history", help="parquet of already-accepted docs "
                     "(incremental dedup against it first)")
+    pr.add_argument("--index", help="persisted DedupIndex dir (see "
+                    "operators.dedup.write_dedup_index) — preferred "
+                    "over --history: per-batch cost, Bloom fast path "
+                    "when the index carries sidecars")
     pr.add_argument("--benchmark", help="parquet of eval docs "
                     "(n-gram decontamination)")
     pr.add_argument("--decontam-n", type=int, default=13)

@@ -959,6 +959,20 @@ class DedupIndex:
                      (band leg; schema = :func:`minhash_signatures_df`)
     - ``shingles`` — ``(id, sh, sz)`` shingle sets (exact-Jaccard
                      verify leg; schema = :func:`shingle_frame`)
+
+    plus two optional Bloom sidecars (``bloom_m_bits > 0``), each a
+    ``(word_idx, word)`` bitmap ≤ m/32 rows (operators/bloom.py):
+
+    - ``bloom``       — over the digest strings (exact leg pre-filter)
+    - ``bands_bloom`` — over the band-key strings of ``sigs`` at
+      ``rows_per_band`` (near leg pre-filter)
+
+    With the sidecars present, :func:`incremental_dedup` probes each
+    batch row against the broadcast bitmaps and only *maybe* rows touch
+    the history tables — and those touches are broadcast-semi scans of
+    history (map-side), so the history side is never shuffled. False
+    positives cost an extra exact check; results are identical to the
+    bloom-less path.
     """
 
     digests: DataFrame
@@ -967,6 +981,17 @@ class DedupIndex:
     n: int = 3
     k: int = 8
     mode: str = "djb2"
+    bloom: DataFrame | None = None
+    bands_bloom: DataFrame | None = None
+    bloom_m: int = 0
+    bloom_k: int = 0
+    rows_per_band: int = 2
+
+
+def _band_key(bs: Column) -> Column:
+    """string form of a band struct — the generic Bloom key (djb2 mode
+    needs a string; the separator keeps (1,23) and (12,3) distinct)."""
+    return F.concat_ws("|", bs["band"], F.to_json(bs["sig"]))
 
 
 def build_dedup_index(
@@ -976,15 +1001,36 @@ def build_dedup_index(
     n: int = 3,
     k: int = 8,
     mode: str = "djb2",
+    bloom_m_bits: int = 0,
+    bloom_k: int = 5,
+    rows_per_band: int = 2,
 ) -> DedupIndex:
-    """derive the three index frames from an accepted corpus (lazy —
-    persist with :func:`write_dedup_index` / the catalog checkpoint)."""
+    """derive the index frames from an accepted corpus (lazy — persist
+    with :func:`write_dedup_index` / the catalog checkpoint).
+    ``bloom_m_bits > 0`` adds the two Bloom sidecars (size the bits at
+    ~10× the expected distinct-doc count for ~1% false positives)."""
+    from .bloom import bloom_build
+
     digest = F.md5(F.lower(F.trim(F.col(text_col))))
+    digests = df.select(digest.alias("_dig")).distinct()
+    sigs = minhash_signatures_df(df, id_col, text_col, n, k, mode)
+    blm = bands = None
+    if bloom_m_bits:
+        blm = bloom_build(digests, "_dig", bloom_m_bits, bloom_k, mode)
+        bands = bloom_build(
+            _minhash_bands(sigs, k, rows_per_band)
+            .select(_band_key(F.col("bs")).alias("_bk")),
+            "_bk", bloom_m_bits, bloom_k, mode,
+        )
     return DedupIndex(
-        digests=df.select(digest.alias("_dig")).distinct(),
-        sigs=minhash_signatures_df(df, id_col, text_col, n, k, mode),
+        digests=digests,
+        sigs=sigs,
         shingles=shingle_frame(df, id_col, text_col, n, mode),
         n=n, k=k, mode=mode,
+        bloom=blm, bands_bloom=bands,
+        bloom_m=bloom_m_bits if blm is not None else 0,
+        bloom_k=bloom_k if blm is not None else 0,
+        rows_per_band=rows_per_band,
     )
 
 
@@ -996,9 +1042,17 @@ def write_dedup_index(index: DedupIndex, path: str) -> None:
     index.digests.write.mode("overwrite").parquet(f"{path}/digests")
     index.sigs.write.mode("overwrite").parquet(f"{path}/sigs")
     index.shingles.write.mode("overwrite").parquet(f"{path}/shingles")
+    if index.bloom is not None:
+        index.bloom.write.mode("overwrite").parquet(f"{path}/bloom")
+        index.bands_bloom.write.mode("overwrite").parquet(
+            f"{path}/bands_bloom"
+        )
     spark = index.digests.sparkSession
     spark.createDataFrame(
-        [(index.n, index.k, index.mode)], "n int, k int, mode string"
+        [(index.n, index.k, index.mode, index.bloom_m, index.bloom_k,
+          index.rows_per_band)],
+        "n int, k int, mode string, bloom_m long, bloom_k int, "
+        "rows_per_band int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -1007,11 +1061,23 @@ def read_dedup_index(spark, path: str) -> DedupIndex:
     so every downstream use reads parquet instead of recomputing
     signatures/shingles from the raw history text."""
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    md = meta.asDict()
+    bloom_m = md.get("bloom_m") or 0  # pre-sidecar meta has no column
+    blm = bands = None
+    if bloom_m:
+        from .bloom import bloom_merge
+
+        # appends write per-batch bitmap fragments; OR them on read
+        blm = bloom_merge(spark.read.parquet(f"{path}/bloom"))
+        bands = bloom_merge(spark.read.parquet(f"{path}/bands_bloom"))
     return DedupIndex(
         digests=spark.read.parquet(f"{path}/digests"),
         sigs=spark.read.parquet(f"{path}/sigs"),
         shingles=spark.read.parquet(f"{path}/shingles"),
         n=meta["n"], k=meta["k"], mode=meta["mode"],
+        bloom=blm, bands_bloom=bands,
+        bloom_m=bloom_m, bloom_k=md.get("bloom_k") or 0,
+        rows_per_band=md.get("rows_per_band") or 2,
     )
 
 
@@ -1042,13 +1108,20 @@ def append_to_dedup_index(
     streaming two-batch test: batch 2 never saw batch 1's survivors."""
     snap = accepted_df.localCheckpoint(eager=True)
     spark = accepted_df.sparkSession
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
     inc = build_dedup_index(
-        snap, id_col, text_col, meta["n"], meta["k"], meta["mode"]
+        snap, id_col, text_col, meta["n"], meta["k"], meta["mode"],
+        bloom_m_bits=meta.get("bloom_m") or 0,
+        bloom_k=meta.get("bloom_k") or 5,
+        rows_per_band=meta.get("rows_per_band") or 2,
     )
     inc.digests.write.mode("append").parquet(f"{path}/digests")
     inc.sigs.write.mode("append").parquet(f"{path}/sigs")
     inc.shingles.write.mode("append").parquet(f"{path}/shingles")
+    if inc.bloom is not None:
+        # appended as fragments; read_dedup_index ORs them back together
+        inc.bloom.write.mode("append").parquet(f"{path}/bloom")
+        inc.bands_bloom.write.mode("append").parquet(f"{path}/bands_bloom")
 
 
 def incremental_dedup(
@@ -1098,12 +1171,37 @@ def incremental_dedup(
         index = build_dedup_index(seen_df, id_col, text_col, n, k, mode)
     else:
         n, k, mode = index.n, index.k, index.mode
+        rows_per_band = index.rows_per_band
     digest = F.md5(F.lower(F.trim(F.col(text_col))))
-    survivors = (
-        new_df.withColumn("_dig", digest)
-        .join(index.digests, "_dig", "left_anti")
-        .drop("_dig")
-    )
+    keyed = new_df.withColumn("_dig", digest)
+    if index.bloom is not None:
+        from .bloom import bloom_probe
+
+        # Bloom fast path: probe the batch against the broadcast digest
+        # bitmap — rows the filter rules out are definitely new and
+        # never touch history. The *maybe* rows (true dups + false
+        # positives, a small set for a mostly-novel batch) broadcast
+        # into a LEFT SEMI against the history digest table, which is
+        # therefore scanned map-side and NEVER SHUFFLED; the hit set
+        # (≤ |maybe|) broadcasts back into the anti-join. The batch is
+        # scanned twice (the two union branches) — map-side work,
+        # traded for removing the batch×history shuffle. Identical
+        # survivors to the bloom-less path: no false negatives.
+        probed = bloom_probe(
+            keyed, index.bloom, "_dig",
+            index.bloom_m, index.bloom_k, mode,
+        )
+        maybe = probed.filter(F.col("bloom_maybe"))
+        hits = index.digests.join(
+            F.broadcast(maybe.select("_dig").distinct()), "_dig", "left_semi"
+        )
+        survivors = (
+            probed.filter(~F.col("bloom_maybe"))
+            .unionByName(maybe.join(F.broadcast(hits), "_dig", "left_anti"))
+            .drop("bloom_maybe", "_dig")
+        )
+    else:
+        survivors = keyed.join(index.digests, "_dig", "left_anti").drop("_dig")
     if not near:
         return survivors
     new_bands = _minhash_bands(
@@ -1111,6 +1209,29 @@ def incremental_dedup(
         k, rows_per_band,
     )
     seen_bands = _minhash_bands(index.sigs, k, rows_per_band)
+    if index.bands_bloom is not None:
+        from .bloom import bloom_probe
+
+        # same shape for the near leg: only new bands whose key might
+        # exist in history enter the join, and the history band side is
+        # first trimmed by a broadcast semi-join on those keys — the
+        # full history signature table streams map-side past a
+        # broadcast, no shuffle. Any band value actually present in
+        # history always survives the probe, so the candidate pair set
+        # is identical to the unfiltered join.
+        nb = bloom_probe(
+            new_bands.withColumn("_bk", _band_key(F.col("bs"))),
+            index.bands_bloom, "_bk",
+            index.bloom_m, index.bloom_k, mode,
+        ).filter(F.col("bloom_maybe"))
+        seen_bands = (
+            seen_bands.withColumn("_bk", _band_key(F.col("bs")))
+            .join(
+                F.broadcast(nb.select("_bk").distinct()), "_bk", "left_semi"
+            )
+            .drop("_bk")
+        )
+        new_bands = nb.drop("bloom_maybe", "_bk")
     cand = (
         new_bands.alias("a")
         .join(seen_bands.alias("b"), F.col("a.bs") == F.col("b.bs"))
