@@ -1906,6 +1906,55 @@ def _inc_dedup_idx(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _quality_model_oracle() -> str:
+    # inline the COMMITTED trained weight table as a DuckDB list
+    # literal, so the oracle pins the actual production artifact (not a
+    # formula stand-in): score = bias + Σ W[djb2(tok) mod 4096 + 1]
+    from s3_log_parser_spark.functions.classify import DEFAULT_BUCKETS
+    from s3_log_parser_spark.functions.quality_weights import (
+        BIAS_X1000,
+        WEIGHTS_X1000,
+    )
+
+    wlit = "[" + ", ".join(str(v) for v in WEIGHTS_X1000) + "]"
+    return f"""
+    WITH w AS (SELECT {wlit} AS wt), toks AS (
+      SELECT doc_id, {_toks_sql('text')} AS tk FROM documents
+    )
+    SELECT doc_id,
+           {BIAS_X1000} + coalesce(list_sum(
+             list_transform(tk,
+               t -> wt[CAST({_djb2_sql('t')} % {DEFAULT_BUCKETS} AS INTEGER)
+                       + 1])), 0) AS model_score,
+           CAST(({BIAS_X1000} + coalesce(list_sum(
+             list_transform(tk,
+               t -> wt[CAST({_djb2_sql('t')} % {DEFAULT_BUCKETS} AS INTEGER)
+                       + 1])), 0)) >= 0 AS BIGINT) AS model_label
+    FROM toks, w
+    """
+
+
+@q("quality_model_scores", _quality_model_oracle())
+def _quality_model(spark, sf):
+    # distilled hashed-linear quality filter (functions/classify.py):
+    # the weight table rides the plan as ONE literal array and the
+    # fold is row-local — zero joins/shuffles/Python, the shape a
+    # model-based filter needs at 100 TB. Weights are the committed
+    # tools/train_quality.py artifact (numpy logistic regression
+    # distilling quality_score_x1000 >= median; ~0.90 accuracy).
+    from s3_log_parser_spark.functions.classify import (
+        quality_model_label,
+        quality_model_score,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        quality_model_score("text").alias("model_score"),
+        quality_model_label("text").cast("long").alias("model_label"),
+    )
+
+
 # Bloom prefilter (operators/bloom.py): m = 2^16 bits, k = 5, djb2
 # parity family. The oracle rebuilds the BITMAP itself (word_idx →
 # bit_or of masks) and re-derives every probe, so the per-doc maybe
@@ -2358,6 +2407,7 @@ _DRIVER_PRIORITY = [
     "pack_examples_stats",
     "text_normalize_stats",
     "bloom_prefilter_stats",
+    "quality_model_scores",
 ]
 
 # long-stable single-op rows rotated past the 50-query window: each was
@@ -2413,6 +2463,10 @@ _DRIVER_ROTATED_OUT = [
     # in-window by the bloom probe itself (h1/h2 are djb2 folds the
     # oracle recomputes per doc) and by every *_fp column
     "e2_djb2_dictionary_hash",
+    # rotated for quality_model_scores: the real-BPE counts stay
+    # pinned by the committed pure-Python golden in pytest, and the
+    # tokenizer surface keeps an in-window row via text_bpe_encode
+    "text_bpe_real_counts",
 ]
 
 

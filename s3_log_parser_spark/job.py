@@ -188,6 +188,7 @@ def cmd_prep(args) -> None:
         min_tokens=args.min_tokens,
         min_distinct_ratio_x1000=args.min_distinct_ratio,
         policy=args.policy,
+        model_filter=args.model_filter,
         mode=args.hash_mode,
     )
     clean = res.clean
@@ -282,6 +283,9 @@ def main(argv: list[str] | None = None) -> None:
     pr.add_argument("-o", "--output", required=True)
     pr.add_argument("--near-threshold", type=int, default=500)
     pr.add_argument("--min-tokens", type=int, default=20)
+    pr.add_argument("--model-filter", action="store_true",
+                    help="also apply the distilled hashed-linear "
+                    "quality model (functions/classify.py)")
     pr.add_argument("--min-distinct-ratio", type=int, default=330)
     pr.add_argument(
         "--policy", choices=["pairs", "clusters"], default="pairs",

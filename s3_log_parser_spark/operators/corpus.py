@@ -51,6 +51,8 @@ def corpus_prep(
     n: int = 3,
     policy: str = "pairs",
     mode: str = "djb2",
+    model_filter: bool = False,
+    model_threshold: int = 0,
 ) -> CorpusPrepResult:
     """Run the full corpus-prep DAG; returns the cleaned corpus and the
     per-source token-budget statistics.
@@ -71,6 +73,11 @@ def corpus_prep(
     parity family the DuckDB oracle reproduces; production 100 TB runs
     pass ``"xxhash64"`` (64-bit codegen hashes — the 32-bit DJB2
     space starts colliding on trillion-shingle corpora).
+
+    ``model_filter=True`` additionally keeps only docs the distilled
+    hashed-linear quality model (functions/classify.py) scores ≥
+    ``model_threshold`` — the model-based filter stage of a real
+    pretraining recipe, at zero extra shuffles.
     """
     if policy not in ("pairs", "clusters"):
         raise ValueError(f"corpus_prep: unknown policy {policy!r}")
@@ -107,6 +114,19 @@ def corpus_prep(
         (feats["n_tokens"] >= min_tokens)
         & (feats["distinct_ratio_x1000"] >= min_distinct_ratio_x1000)
     )
+    if model_filter:
+        # 3b) distilled model filter (functions/classify.py): the
+        # hashed-linear logit rides the same stage as the heuristic
+        # features — one literal-array lookup per token, still zero
+        # extra shuffles/Python
+        from ..functions.classify import quality_model_label
+
+        # always the model's TRAINING-time bucket hash (djb2) — a
+        # weight table is meaningless under any other feature hash, so
+        # this deliberately does not follow the corpus `mode`
+        clean = clean.filter(
+            quality_model_label(text_col, model_threshold)
+        )
 
     # 4) per-source token budget
     stats = (
