@@ -1056,6 +1056,35 @@ def write_dedup_index(index: DedupIndex, path: str) -> None:
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
+def compact_dedup_index(spark, path: str) -> None:
+    """table maintenance for the append loop: rewrite the index with
+    duplicate digests collapsed (append lets a digest repeat across
+    batches — correct for the anti-join, wasteful to scan), duplicate
+    (id, signature/shingle) rows dropped (a replayed batch can append
+    the same doc twice; the overwrite output sink dedups itself, the
+    index tables don't — dropDuplicates is safe HERE, uniquely, because
+    same-id rows are bit-identical derivations of the same doc, so the
+    partition-dependent winner carries identical values), and bitmap
+    fragments pre-ORed so readers skip
+    the merge aggregate. Run it like any compaction job — periodically,
+    not per batch. Uses an eager snapshot before each overwrite (the
+    rewrite plan reads the very files it replaces)."""
+    idx = read_dedup_index(spark, path)
+
+    def _rewrite(df: DataFrame, sub: str) -> None:
+        df.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            f"{path}/{sub}"
+        )
+
+    _rewrite(idx.digests.distinct(), "digests")
+    _rewrite(idx.sigs.dropDuplicates(["id"]), "sigs")
+    _rewrite(idx.shingles.dropDuplicates(["id"]), "shingles")
+    if idx.bloom is not None:
+        # read_dedup_index already returns the merged (bit_or) form
+        _rewrite(idx.bloom, "bloom")
+        _rewrite(idx.bands_bloom, "bands_bloom")
+
+
 def read_dedup_index(spark, path: str) -> DedupIndex:
     """load a persisted index; the returned frames are columnar scans,
     so every downstream use reads parquet instead of recomputing
@@ -1092,7 +1121,7 @@ def append_to_dedup_index(
     from its meta table, so a caller can't silently mix hash families)
     and append them. Appended digests may repeat an existing digest
     across batches — harmless, the exact leg is an anti-join (presence
-    test); compact with a distinct rewrite during table maintenance if
+    test); run :func:`compact_dedup_index` during table maintenance if
     storage matters. Cost: O(batch), the history is never touched.
 
     The accepted frame's lineage is TRUNCATED (eager localCheckpoint)

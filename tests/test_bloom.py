@@ -177,3 +177,53 @@ def test_append_maintains_bloom(spark, tmp_path):
         b2, index=read_dedup_index(spark, idx_dir), threshold_x1000=500
     )
     assert {r["doc_id"] for r in out.collect()} == {202}
+
+
+def test_compact_dedup_index(spark, tmp_path):
+    """compaction removes append-duplicated digests/rows and pre-ORs
+    bitmap fragments; dedup results are unchanged afterwards."""
+    from s3_log_parser_spark.operators.dedup import (
+        append_to_dedup_index,
+        build_dedup_index,
+        compact_dedup_index,
+        incremental_dedup,
+        read_dedup_index,
+        write_dedup_index,
+    )
+
+    idx_dir = str(tmp_path / "bloom_index4")
+    write_dedup_index(
+        build_dedup_index(_hist(spark), bloom_m_bits=M, bloom_k=K), idx_dir
+    )
+    # simulate a replayed append: the same accepted doc lands twice
+    accept = spark.createDataFrame(
+        [(300, "replayed accepted document about harbor ferries and "
+               "their winter maintenance schedule")],
+        "doc_id long, text string",
+    )
+    append_to_dedup_index(accept, idx_dir)
+    append_to_dedup_index(accept, idx_dir)
+    before = read_dedup_index(spark, idx_dir)
+    assert before.digests.count() > before.digests.distinct().count()
+
+    compact_dedup_index(spark, idx_dir)
+    after = read_dedup_index(spark, idx_dir)
+    assert after.digests.count() == after.digests.distinct().count()
+    assert after.sigs.groupBy("id").count().filter("count > 1").count() == 0
+    # bitmap fragments collapsed to one row per word
+    raw_bloom = spark.read.parquet(f"{idx_dir}/bloom")
+    assert (
+        raw_bloom.groupBy("word_idx").count().filter("count > 1").count()
+        == 0
+    )
+    # behavior unchanged: history dup + replayed-accept dup both drop
+    batch = spark.createDataFrame(
+        [(400, HIST_TEXT),
+         (401, "replayed accepted document about harbor ferries and "
+               "their winter maintenance schedule"),
+         (402, "an unrelated report on tidal measurements near the "
+               "eastern breakwater during spring")],
+        "doc_id long, text string",
+    )
+    out = incremental_dedup(batch, index=after, threshold_x1000=500)
+    assert {r["doc_id"] for r in out.collect()} == {402}
