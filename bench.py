@@ -375,6 +375,20 @@ def main() -> None:
         qtimes["decontamination_hits_xxhash64"] = round(
             time.perf_counter() - t0, 3
         )
+        # the distilled quality classifier under the production token
+        # hash family (the oracle row quality_model_scores pins the
+        # djb2 parity family over the same docs)
+        from s3_log_parser_spark.functions.classify import (
+            quality_model_score,
+        )
+
+        t0 = time.perf_counter()
+        docs.select(
+            "doc_id", quality_model_score("text", mode="xxhash64").alias("q")
+        ).agg(SF.sum("q")).collect()
+        qtimes["quality_model_scores_xxhash64"] = round(
+            time.perf_counter() - t0, 3
+        )
 
     # field order matters: the driver records only the TAIL of stdout,
     # and r4's artifact lost the headline (value/turns_per_sec/stage_sec)
