@@ -2399,6 +2399,7 @@ _DRIVER_PRIORITY = [
     "sample_token_budget",
     "pack_sequences_stats",
     "grouped_topk_events",
+    "time_rollup_counts",
     "asof_join_states",
     "range_join_windows",
     "line_dedup_stats",
@@ -2467,6 +2468,11 @@ _DRIVER_ROTATED_OUT = [
     # pinned by the committed pure-Python golden in pytest, and the
     # tokenizer surface keeps an in-window row via text_bpe_encode
     "text_bpe_real_counts",
+    # rotated for time_rollup_counts: e7's CASE-WHEN classification
+    # kernel runs in-window inside pipeline_slim_status's system/
+    # platform columns, and the broadcast-bank twin is pytest-pinned
+    # (driver-green in r04)
+    "e7_pattern_bank_classify",
 ]
 
 
@@ -2577,6 +2583,44 @@ def _pack_stats(spark, sf):
     return pack_stats(
         _t(spark, sf, "documents"), ctx_tokens=256, by="source"
     )
+
+
+@q(
+    "time_rollup_counts",
+    """
+    WITH base AS (
+      SELECT event_type, date_trunc('minute', ts) AS b,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+               AS sum_value_x100
+      FROM events GROUP BY 1, 2
+    )
+    SELECT 'minute' AS resolution, event_type,
+           strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           n_events, sum_value_x100
+    FROM base
+    UNION ALL
+    SELECT 'hour', event_type,
+           strftime(date_trunc('hour', b), '%Y-%m-%d %H:%M:%S'),
+           CAST(SUM(n_events) AS BIGINT),
+           CAST(SUM(sum_value_x100) AS BIGINT)
+    FROM base GROUP BY 2, date_trunc('hour', b)
+    UNION ALL
+    SELECT 'day', event_type,
+           strftime(date_trunc('day', b), '%Y-%m-%d %H:%M:%S'),
+           CAST(SUM(n_events) AS BIGINT),
+           CAST(SUM(sum_value_x100) AS BIGINT)
+    FROM base GROUP BY 2, date_trunc('day', b)
+    """,
+)
+def _time_rollup_counts(spark, sf):
+    # hypertable-style multi-resolution rollup: raw scanned ONCE,
+    # aggregated at minute grain; hour/day tiers derive from the
+    # persisted minute tier (never from raw — the continuous-aggregate
+    # hierarchy; a GROUPING SETS pass would Expand the 100 TB input 3×)
+    from s3_log_parser_spark.operators.aggregate import time_rollup
+
+    return time_rollup(_t(spark, sf, "events"))
 
 
 @q(

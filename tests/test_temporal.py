@@ -123,3 +123,69 @@ def test_range_join_explode_guard(spark):
     assert range_join(
         ev, iv, bucket_seconds=3600, max_buckets_per_interval=None
     ).count() == 1
+
+
+# --------------------------------------------------------------------
+# time_rollup: hypertable-style multi-resolution continuous aggregate
+# --------------------------------------------------------------------
+
+
+def test_time_rollup_hierarchy(spark):
+    from s3_log_parser_spark.operators.aggregate import time_rollup
+
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:00:10", 1.25),
+            ("a", "2024-01-01 00:00:40", 2.00),   # same minute as above
+            ("a", "2024-01-01 00:59:59", 0.50),   # same hour, new minute
+            ("a", "2024-01-01 23:00:00", 4.00),   # same day, new hour
+            ("b", "2024-01-02 00:00:00", 10.00),  # new key, new day
+        ],
+        "event_type string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = time_rollup(df).collect()
+    by = {(r.resolution, r.event_type, r.bucket_start): r for r in out}
+    # minute tier: first two rows collapse into one bucket
+    m = by[("minute", "a", "2024-01-01 00:00:00")]
+    assert (m.n_events, m.sum_value_x100) == (2, 325)
+    # hour tier derives from minute: 3 events in hour 00
+    h = by[("hour", "a", "2024-01-01 00:00:00")]
+    assert (h.n_events, h.sum_value_x100) == (3, 375)
+    # day tier: all 4 'a' events on day 1
+    d = by[("day", "a", "2024-01-01 00:00:00")]
+    assert (d.n_events, d.sum_value_x100) == (4, 775)
+    # every tier conserves the total event count and value sum
+    for res in ("minute", "hour", "day"):
+        rows = [r for r in out if r.resolution == res]
+        assert sum(r.n_events for r in rows) == 5
+        assert sum(r.sum_value_x100 for r in rows) == 1775
+
+
+def test_time_rollup_no_value_and_bad_resolution(spark):
+    from s3_log_parser_spark.operators.aggregate import time_rollup
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:10")], "event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = time_rollup(df, value_col=None, resolutions=("hour", "day"))
+    assert "sum_value_x100" not in out.columns
+    assert out.count() == 2  # one hour bucket + one day bucket
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown resolution"):
+        time_rollup(df, resolutions=("fortnight",))
+
+
+def test_time_rollup_single_raw_scan(spark):
+    # the coarse tiers must aggregate the (persisted) minute tier, not
+    # re-scan raw input: the plan shows ONE InMemoryTableScan per tier
+    # and no second parquet/LocalTableScan of the raw rows
+    from s3_log_parser_spark.operators.aggregate import time_rollup
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:10", 1.0)],
+        "event_type string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = time_rollup(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
