@@ -2400,6 +2400,7 @@ _DRIVER_PRIORITY = [
     "pack_sequences_stats",
     "grouped_topk_events",
     "time_rollup_counts",
+    "json_props_extract",
     "asof_join_states",
     "range_join_windows",
     "line_dedup_stats",
@@ -2473,6 +2474,10 @@ _DRIVER_ROTATED_OUT = [
     # platform columns, and the broadcast-bank twin is pytest-pinned
     # (driver-green in r04)
     "e7_pattern_bank_classify",
+    # rotated for json_props_extract: the frame-sampling UDF contract
+    # stays pytest-pinned (batch shape, codec seam) and the multimodal
+    # read path keeps its in-window row via mm_media_metadata
+    "mm_frame_sample_counts",
 ]
 
 
@@ -2582,6 +2587,45 @@ def _pack_stats(spark, sf):
 
     return pack_stats(
         _t(spark, sf, "documents"), ctx_tokens=256, by="source"
+    )
+
+
+@q(
+    "json_props_extract",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CASE WHEN event_id % 97 = 0 THEN substr(props, 1, 3)
+                  ELSE props END AS p
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN json_valid(p) THEN p->>'k' END) AS BIGINT)
+             AS n_parsed,
+           CAST(SUM(CASE WHEN json_valid(p)
+                         THEN CAST(p->>'k' AS BIGINT) END) AS BIGINT)
+             AS sum_k
+    FROM b GROUP BY 1
+    """,
+)
+def _json_props_extract(spark, sf):
+    # semi-structured extraction from the events props JSON payload,
+    # with a deterministic malformed slice (every 97th event truncated)
+    # proving the null-degrade path: get_json_object returns NULL on
+    # bad JSON (never throws, even ANSI-on), so corrupt rows become
+    # countable NULLs instead of a failed 100 TB stage
+    from s3_log_parser_spark.functions.parsing import json_field
+
+    ev = _t(spark, sf, "events")
+    p = F.when(
+        F.col("event_id") % 97 == 0, F.substring("props", 1, 3)
+    ).otherwise(F.col("props"))
+    k = json_field(p, "k").try_cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count(k).alias("n_parsed"),
+        F.sum(k).alias("sum_k"),
     )
 
 

@@ -433,3 +433,21 @@ def contains_pattern(col: Column | str, pattern: str) -> Column:
     """P6 check_pattern (src/s3parser.c:662-680): plain substring, 0/1."""
     c = F.col(col) if isinstance(col, str) else col
     return F.when(c.contains(pattern), F.lit(1)).otherwise(F.lit(0))
+
+
+def json_field(col: Column | str, field: str) -> Column:
+    """Null-safe scalar extraction from a JSON-string column (beyond
+    the reference, which only WRITES JSON — src/s3extract.c:232-258;
+    an analytics engine over event logs also has to READ the
+    semi-structured ``props`` payloads they carry).
+
+    ``get_json_object`` is codegen'd JVM-side and returns NULL on
+    malformed input or a missing key — never throws, even ANSI-on —
+    so the malformed slice of a 100 TB corpus degrades to NULLs the
+    caller can count, not a failed stage. For wide extraction of many
+    fields prefer ``F.from_json`` with an explicit schema (one parse
+    per row instead of one per field); for a single scalar this form
+    skips schema plumbing and prunes to the one key.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.get_json_object(c, f"$.{field}")

@@ -170,3 +170,20 @@ def test_parser_equality_on_odd_timestamp_brackets(spark):
 
     assert got[1]["ip_hash"] == djb2_py("1.2.3.4")
     assert got[1]["key_hash"] == djb2_py("/show/ep.mp3")
+
+
+def test_json_field_null_degrade(spark):
+    # malformed JSON and missing keys become NULL (never a thrown
+    # cast/parse error — the property that keeps a 100 TB scan alive)
+    from s3_log_parser_spark.functions.parsing import json_field
+
+    df = spark.createDataFrame(
+        [('{"k": 7}',), ('{"k',), (None,), ('{"other": 1}',), ('{"k": "x"}',)],
+        "props string",
+    )
+    out = df.select(
+        json_field("props", "k").alias("raw"),
+        json_field("props", "k").try_cast("long").alias("k"),
+    ).collect()
+    assert [r.k for r in out] == [7, None, None, None, None]
+    assert out[4].raw == "x" and out[4].k is None  # non-numeric: cast degrades
