@@ -2410,6 +2410,11 @@ _DRIVER_PRIORITY = [
     "text_normalize_stats",
     "bloom_prefilter_stats",
     "quality_model_scores",
+    "hll_distinct_rollup",
+    "cms_heavy_hitters",
+    "funnel_conversion_steps",
+    "retention_cohorts",
+    "anomaly_windowed_counts",
 ]
 
 # long-stable single-op rows rotated past the 50-query window: each was
@@ -2478,6 +2483,20 @@ _DRIVER_ROTATED_OUT = [
     # stays pytest-pinned (batch shape, codec seam) and the multimodal
     # read path keeps its in-window row via mm_media_metadata
     "mm_frame_sample_counts",
+    # rotated for the sketch/behavior tier (hll/cms/funnel/retention/
+    # anomaly). Each rotated row was driver-green in r04 and keeps its
+    # kernel pinned elsewhere: float brute kNN by the quantized recall
+    # pin + dedup_embedding_lsh's scored join (both pytest), LSH top-k
+    # by ivf_topk's identical score-and-rank tail staying in-window,
+    # quality features by quality_model_scores (the distilled model
+    # inlines the same stopword/length kernel), media metadata by the
+    # multimodal contract pytests, and the LSH-bucketed near-dup by
+    # its recall pin + the in-window dedup_minhash_lsh_pairs banding
+    "knn_bruteforce_topk",
+    "ann_lsh_topk",
+    "text_quality_features",
+    "mm_media_metadata",
+    "dedup_embedding_lsh",
 ]
 
 
@@ -3026,6 +3045,269 @@ def _text_normalize_stats(spark, sf):
         F.length(norm).cast("long").alias("n_chars_norm"),
         djb2_expr(norm).alias("norm_fp"),
     )
+
+
+# ===========================================================================
+# mergeable sketches + behavioral analytics (operators/sketch.py,
+# operators/behavior.py)
+# ===========================================================================
+
+# the HLL estimator numerator, inlined identically in both engines
+from s3_log_parser_spark.operators.sketch import hll_constant as _hll_c  # noqa: E402
+
+_HLL_NUM = repr(_hll_c(9))
+
+
+@q(
+    "hll_distinct_rollup",
+    f"""
+    WITH base AS (
+      SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS d,
+             CAST(user_id AS VARCHAR) || ':' || event_type || ':'
+               || CAST(CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS VARCHAR)
+               AS k
+      FROM events
+    ),
+    mixed AS (
+      SELECT d, k,
+             (({_djb2_sql('k')} * 2654435 + 7) % 4294967311)
+               % 2147483647 AS m
+      FROM base
+    ),
+    hashed AS (SELECT d, k, (m * m) % 2147483647 AS h FROM mixed),
+    daily AS (
+      SELECT d, h % 512 AS bucket,
+             MAX(CASE WHEN (h // 512) = 0 THEN 23
+                      ELSE 23 - length(bin(h // 512)) END) AS r
+      FROM hashed GROUP BY 1, 2
+    ),
+    merged AS (SELECT bucket, MAX(r) AS r FROM daily GROUP BY 1),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_registers,
+             CAST(SUM(1::BIGINT << (23 - r))
+                  + (512 - COUNT(*)) * 8388608 AS BIGINT) AS z_int
+      FROM merged
+    ),
+    ex AS (
+      SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS exact_distinct,
+             CAST(COUNT(DISTINCT d) AS BIGINT) AS n_days
+      FROM hashed
+    )
+    SELECT n_registers, z_int,
+           CAST(FLOOR(({_HLL_NUM} / CAST(z_int AS DOUBLE)) * 1000)
+                AS BIGINT) AS est_x1000,
+           exact_distinct, n_days
+    FROM agg, ex
+    """,
+)
+def _hll_rollup(spark, sf):
+    # the 100 TB rollup idiom: scan raw once per day into a 512-row
+    # register table (the persisted artifact), answer any window by
+    # max-merging sketches — never re-reading raw. The oracle rebuilds
+    # every register bit-for-bit (DJB2 parity family); the estimate is
+    # one identical IEEE division (raw mode: the ln of the linear-
+    # counting branch is libm-dependent, and at 8k distinct >> 2.5m
+    # raw is the estimator of record anyway). exact_distinct rides
+    # along so the artifact itself shows the ~4.6%-SE accuracy.
+    from s3_log_parser_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_rank_cols,
+    )
+
+    ev = _t(spark, sf, "events")
+    day = (F.unix_timestamp("ts") / 86400).cast("long")
+    key = F.concat(
+        F.col("user_id").cast("string"), F.lit(":"),
+        F.col("event_type"), F.lit(":"), day.cast("string"),
+    )
+    keyed = ev.select(key.alias("k"), day.alias("d"))
+    bucket, rank = hll_rank_cols(F.col("k"))
+    daily = (
+        keyed.select("d", bucket.alias("bucket"), rank.alias("r"))
+        .groupBy("d", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    merged = hll_merge(daily.select("bucket", "r"))
+    est = hll_estimate(merged, correction=False)
+    exact = keyed.agg(
+        F.count_distinct("k").cast("long").alias("exact_distinct"),
+        F.count_distinct("d").cast("long").alias("n_days"),
+    )
+    return est.crossJoin(exact)
+
+
+@q(
+    "cms_heavy_hitters",
+    f"""
+    WITH ev AS (SELECT user_id, CAST(user_id AS VARCHAR) AS k FROM events),
+    grid AS (
+      SELECT i,
+             (({_djb2_sql("CAST(i AS VARCHAR) || ':' || k")} * 2654435 + 7)
+              % 4294967311) % 64 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ev CROSS JOIN range(4) t(i) GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT user_id, k, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM ev GROUP BY 1, 2
+    ),
+    top AS (SELECT * FROM exact ORDER BY exact_n DESC, user_id LIMIT 10),
+    probes AS (
+      SELECT t.user_id, t.exact_n, i.i AS i,
+             (({_djb2_sql("CAST(i.i AS VARCHAR) || ':' || t.k")} * 2654435
+               + 7) % 4294967311) % 64 AS bucket
+      FROM top t CROSS JOIN range(4) i(i)
+    )
+    SELECT p.user_id, p.exact_n,
+           CAST(MIN(COALESCE(g.n, 0)) AS BIGINT) AS cms_n
+    FROM probes p LEFT JOIN grid g USING (i, bucket)
+    GROUP BY 1, 2
+    """,
+)
+def _cms_hh(spark, sf):
+    # count-min frequency grid (depth 4 × width 64 — width squeezed
+    # far below the 150-key cardinality so the never-undercount
+    # property is exercised under real collisions, not vacuously).
+    # Build is one map-side-combined count capped at depth·width rows
+    # regardless of input size; estimates = min over 4 broadcast
+    # lookups. The top-10 keys by exact count carry both numbers so
+    # the artifact pins cms_n >= exact_n row by row.
+    from s3_log_parser_spark.operators.sketch import cms_lookup, cms_sketch
+
+    ev = _t(spark, sf, "events")
+    sk = cms_sketch(ev, F.col("user_id").cast("string"), depth=4, width=64)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(10)
+    )
+    looked = cms_lookup(
+        sk,
+        top.select(F.col("user_id").cast("string").alias("k")),
+        "k",
+        depth=4,
+        width=64,
+    )
+    return (
+        top.withColumn("k", F.col("user_id").cast("string"))
+        .join(F.broadcast(looked), "k")
+        .select("user_id", "exact_n", "cms_n")
+    )
+
+
+@q(
+    "funnel_conversion_steps",
+    """
+    WITH f AS (
+      SELECT user_id,
+             CASE event_type WHEN 'signup' THEN '1' WHEN 'view' THEN '2'
+                  WHEN 'click' THEN '3' WHEN 'purchase' THEN '4' END AS c,
+             ts, event_id
+      FROM events
+      WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+        AND ts < TIMESTAMP '2024-01-03'
+    ),
+    per AS (SELECT user_id, list(c ORDER BY ts, event_id) AS evs
+            FROM f GROUP BY 1),
+    fold AS (
+      SELECT CAST(list_reduce(list_prepend('0', evs),
+        (acc, s) -> CASE WHEN acc = '0' AND s = '1' THEN '1'
+                         WHEN acc = '1' AND s = '2' THEN '2'
+                         WHEN acc = '2' AND s = '3' THEN '3'
+                         WHEN acc = '3' AND s = '4' THEN '4'
+                         ELSE acc END) AS INT) AS furthest_step
+      FROM per
+    ),
+    ex AS (SELECT furthest_step, CAST(COUNT(*) AS BIGINT) AS n_users
+           FROM fold GROUP BY 1)
+    SELECT furthest_step, n_users,
+           CAST(SUM(n_users) OVER (ORDER BY furthest_step DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_reached
+    FROM ex
+    """,
+)
+def _funnel(spark, sf):
+    # ordered-subsequence funnel over a 2-day activation window (the
+    # full fixture converts everyone — 67 events/user finds any
+    # 4-subsequence). Exact O(events) left fold per user, no k-1
+    # self-joins, no regex backtracking; DuckDB reproduces the same
+    # fold with list_reduce over a digit-coded step alphabet (its
+    # reduce accumulator must share the element type).
+    from s3_log_parser_spark.operators.behavior import funnel_conversion
+
+    ev = _t(spark, sf, "events").filter(
+        F.col("ts") < F.lit("2024-01-03").cast("timestamp")
+    )
+    return funnel_conversion(
+        ev, ["signup", "view", "click", "purchase"]
+    )
+
+
+@q(
+    "retention_cohorts",
+    """
+    WITH active AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS d
+      FROM events
+    ),
+    c AS (SELECT d, MIN(d) OVER (PARTITION BY user_id) AS cohort
+          FROM active)
+    SELECT cohort AS cohort_day, d - cohort AS offset_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM c GROUP BY 1, 2
+    """,
+)
+def _retention(spark, sf):
+    # classic cohort retention: first-active day (A2 integer bucket)
+    # × day offset → distinct active users. The per-user min reuses
+    # the distinct's hash partitioning (one exchange, window shares it)
+    from s3_log_parser_spark.operators.behavior import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf, "events"))
+
+
+@q(
+    "anomaly_windowed_counts",
+    """
+    WITH v AS (
+      SELECT user_id, ts, event_id,
+             CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS v,
+             CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day_bucket
+      FROM events
+    ),
+    w AS (
+      SELECT day_bucket, v,
+             COUNT(v) OVER win AS n,
+             CAST(SUM(v) OVER win AS BIGINT) AS s,
+             CAST(SUM(v * v) OVER win AS BIGINT) AS q
+      FROM v WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
+    ),
+    f AS (
+      SELECT day_bucket,
+             CASE WHEN n < 4 OR v IS NULL THEN NULL
+                  WHEN (n * q - s * s) = 0 THEN (n * v - s) != 0
+                  ELSE (n * v - s) * (n * v - s) > 9 * (n * q - s * s)
+             END AS flag
+      FROM w
+    )
+    SELECT day_bucket, CAST(COUNT(flag) AS BIGINT) AS n_checked,
+           CAST(SUM(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_anomalies
+    FROM f GROUP BY 1
+    """,
+)
+def _anomaly(spark, sf):
+    # trailing-window z-score flags, entirely in BIGINT fixed-point:
+    # z² > 3² ⇔ (n·x−S)² > 9·(n·Q−S²) — no float mean/variance, so
+    # the DuckDB window reproduces every flag exactly
+    from s3_log_parser_spark.operators.behavior import anomaly_daily_counts
+
+    return anomaly_daily_counts(_t(spark, sf, "events"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
