@@ -389,6 +389,35 @@ def main() -> None:
         qtimes["quality_model_scores_xxhash64"] = round(
             time.perf_counter() - t0, 3
         )
+        # mergeable sketches under the production hash family (the
+        # oracle rows hll_distinct_rollup / cms_heavy_hitters pin the
+        # mixed-djb2 parity family; xxhash64 skips the per-char fold —
+        # measured ~4× on the cms build at sf0.1)
+        from s3_log_parser_spark.operators.sketch import (
+            cms_sketch,
+            hll_estimate,
+            hll_sketch,
+        )
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        sk_key = SF.concat(
+            SF.col("user_id").cast("string"),
+            SF.lit(":"),
+            SF.col("event_type"),
+            SF.lit(":"),
+            (SF.unix_timestamp("ts") / 86400).cast("long").cast("string"),
+        )
+        t0 = time.perf_counter()
+        hll_estimate(
+            hll_sketch(events.select(sk_key.alias("k")), "k", mode="xxhash64"),
+            correction=False,
+        ).count()
+        qtimes["hll_rollup_xxhash64"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        cms_sketch(
+            events, SF.col("user_id").cast("string"), mode="xxhash64"
+        ).count()
+        qtimes["cms_sketch_xxhash64"] = round(time.perf_counter() - t0, 3)
 
     # field order matters: the driver records only the TAIL of stdout,
     # and r4's artifact lost the headline (value/turns_per_sec/stage_sec)
