@@ -2415,6 +2415,10 @@ _DRIVER_PRIORITY = [
     "funnel_conversion_steps",
     "retention_cohorts",
     "anomaly_windowed_counts",
+    "pivot_daily_events",
+    "cube_margin_counts",
+    "value_histogram_bins",
+    "interarrival_gap_bins",
 ]
 
 # long-stable single-op rows rotated past the 50-query window: each was
@@ -2497,6 +2501,18 @@ _DRIVER_ROTATED_OUT = [
     "text_quality_features",
     "mm_media_metadata",
     "dedup_embedding_lsh",
+    # rotated for the pivot/cube/histogram/interarrival tier. Each was
+    # driver-green in r04 and keeps its kernel pinned: p2's timestamp
+    # domain by the cross-parser fuzz suite + p1 staying in-window,
+    # st2's flag bitmask by 8 ported GTest cases + the golden slim
+    # (st1 stays in-window), exact dedup by corpus_prep_stats composing
+    # it in-window + winner-policy pytest, and the CSV round-trip by
+    # its committed golden fingerprint in pytest (json_sink_roundtrip
+    # keeps the sink surface in-window)
+    "p2_timestamp_parse_format",
+    "st2_chunk_flags",
+    "dedup_exact_groups",
+    "csv_sink_roundtrip",
 ]
 
 
@@ -3308,6 +3324,142 @@ def _anomaly(spark, sf):
     from s3_log_parser_spark.operators.behavior import anomaly_daily_counts
 
     return anomaly_daily_counts(_t(spark, sf, "events"))
+
+
+@q(
+    "pivot_daily_events",
+    """
+    SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day_bucket,
+           CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+             AS click,
+           CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT)
+             AS error,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                AS BIGINT) AS purchase,
+           CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT)
+             AS signup,
+           CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
+             AS view
+    FROM events GROUP BY 1
+    """,
+)
+def _pivot_daily(spark, sf):
+    # wide daily breakdown via pivot with an EXPLICIT value list — the
+    # implicit form first runs a distinct scan over the pivot column
+    # to discover output columns (a full extra pass at 100 TB) and
+    # inherits an unbounded schema from dirty data. Empty cells
+    # coalesce to 0 (conditional-count semantics, like the oracle)
+    from s3_log_parser_spark.operators.aggregate import pivot_counts
+
+    ev = _t(spark, sf, "events")
+    day = (F.unix_timestamp("ts") / 86400).cast("long")
+    return pivot_counts(
+        ev,
+        day,
+        "event_type",
+        ["click", "error", "purchase", "signup", "view"],
+        row_key_name="day_bucket",
+    )
+
+
+@q(
+    "cube_margin_counts",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) % 7 AS weekday,
+             CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS v
+      FROM events
+    )
+    SELECT COALESCE(event_type, '(all)') AS event_type,
+           COALESCE(weekday, -1) AS weekday,
+           CAST(GROUPING(event_type, weekday) AS BIGINT) AS grouping_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v) AS BIGINT) AS sum_measure
+    FROM b GROUP BY CUBE (event_type, weekday)
+    """,
+)
+def _cube_margins(spark, sf):
+    # all four grouping-set margins (type×weekday, type, weekday,
+    # grand total) in ONE scan — Spark plans cube() as a single
+    # Expand + aggregate; four separate groupBys would scan raw four
+    # times. grouping_id disambiguates margin NULLs from data NULLs;
+    # the measure is ×1000 fixed-point so the sum is BIGINT-exact
+    from s3_log_parser_spark.operators.aggregate import cube_counts
+
+    ev = _t(spark, sf, "events")
+    day = (F.unix_timestamp("ts") / 86400).cast("long")
+    b = ev.select(
+        "event_type",
+        F.pmod(day, F.lit(7)).alias("weekday"),
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("_v"),
+    )
+    cube = cube_counts(
+        b, ["event_type", "weekday"], F.col("_v"), measure_name="sum_measure"
+    )
+    # margin NULLs → sentinels: the cross-engine compare sorts row
+    # tuples, and None is unorderable; grouping_id still marks margins
+    return cube.select(
+        F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+        F.coalesce("weekday", F.lit(-1)).alias("weekday"),
+        "grouping_id",
+        "n",
+        "sum_measure",
+    )
+
+
+@q(
+    "value_histogram_bins",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS v
+      FROM events
+    )
+    SELECT event_type,
+           CAST(CASE WHEN v <= 0 THEN 0 ELSE length(bin(v)) END AS INT)
+             AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v) AS BIGINT) AS sum_v
+    FROM v GROUP BY 1, 2
+    """,
+)
+def _value_hist(spark, sf):
+    # log2-binned value distribution per type: the mergeable
+    # distribution sketch (≤ ~31 bins cover any BIGINT range, and
+    # per-day histograms ADD, so they roll up like the HLL/CMS
+    # sketches). Bit length = exact log2 bucket — float log2's floor
+    # misrounds at power-of-two boundaries
+    from s3_log_parser_spark.operators.aggregate import value_histogram
+
+    return value_histogram(
+        _t(spark, sf, "events"), "value", keys=("event_type",)
+    )
+
+
+@q(
+    "interarrival_gap_bins",
+    """
+    WITH g AS (
+      SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events
+    )
+    SELECT CAST(CASE WHEN gap <= 0 THEN 0 ELSE length(bin(gap)) END AS INT)
+             AS gap_bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(gap) AS BIGINT) AS sum_gap_us
+    FROM g WHERE gap IS NOT NULL GROUP BY 1
+    """,
+)
+def _interarrival(spark, sf):
+    # per-user inter-event gap distribution in µs (the think-time
+    # profile that sizes sessionization gaps): one lag window, then a
+    # map-side-combined ≤ ~46-bin aggregate; µs integers end-to-end
+    # (unix_micros ↔ epoch_us) so gap boundaries agree exactly
+    from s3_log_parser_spark.operators.behavior import interarrival_bins
+
+    return interarrival_bins(_t(spark, sf, "events"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -378,3 +378,83 @@ def time_rollup(
         F.date_format("_b", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
         *measure_cols,
     )
+
+
+def pivot_counts(
+    df: DataFrame,
+    row_key: Column | str,
+    pivot_col: str,
+    values: list[str],
+    row_key_name: str = "row_key",
+) -> DataFrame:
+    """Wide per-key counts: one column per ``values`` entry (the
+    classic daily-breakdown table; reference's nearest shape is the
+    per-group count map of src/s3extract.c:120-180, one group per ROW).
+
+    ``values`` is REQUIRED: without it Spark first runs a distinct
+    scan over ``pivot_col`` to discover columns — a full extra pass at
+    100 TB, and an unbounded-width schema if the column is dirty. An
+    explicit list keeps the plan one aggregate and the schema stable.
+    Empty cells are 0, not NULL (conditional-count semantics)."""
+    rk = F.col(row_key) if isinstance(row_key, str) else row_key
+    wide = (
+        df.select(rk.alias(row_key_name), pivot_col)
+        .groupBy(row_key_name)
+        .pivot(pivot_col, values)
+        .count()
+    )
+    return wide.select(
+        row_key_name,
+        *[F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("long").alias(v) for v in values],
+    )
+
+
+def cube_counts(
+    df: DataFrame,
+    dims: list[str],
+    measure: Column | None = None,
+    measure_name: str = "sum_measure",
+) -> DataFrame:
+    """All 2^len(dims) grouping-set margins in ONE pass
+    (``df.cube(...)``): per-cell row count + an optional integer
+    measure sum, with ``grouping_id`` disambiguating real NULL cells
+    from margin rows. Spark plans this as a single Expand + one
+    aggregate — same cost shape as len(dims) separate groupBys but one
+    scan of the input."""
+    cube = df.cube(*dims)
+    aggs = [
+        F.grouping_id().cast("long").alias("grouping_id"),
+        F.count("*").cast("long").alias("n"),
+    ]
+    if measure is not None:
+        aggs.append(F.sum(measure).cast("long").alias(measure_name))
+    return cube.agg(*aggs)
+
+
+def log2_bin(v: Column) -> Column:
+    """Exact log2 bucket of a non-negative BIGINT: bit length (0 → 0).
+    ``length(bin(v))`` in both engines — no float log whose floor
+    misrounds at power-of-two boundaries (same rule as the HLL rank)."""
+    return F.when(v <= 0, F.lit(0)).otherwise(F.length(F.bin(v))).cast("int")
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str = "value",
+    keys: tuple[str, ...] = (),
+    scale: int = 1000,
+) -> DataFrame:
+    """Log2-binned distribution of a fixed-point value per key — the
+    mergeable distribution sketch (histograms add, and ~31 bins cover
+    any BIGINT range, so per-day histograms roll up like the HLL/CMS
+    sketches). Returns (keys..., bin, n, sum_v): enough for range
+    counts, coarse quantiles, and per-bin means."""
+    v = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("long")
+    return (
+        df.select(*keys, v.alias("_v"))
+        .groupBy(*keys, log2_bin(F.col("_v")).alias("bin"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("_v").cast("long").alias("sum_v"),
+        )
+    )

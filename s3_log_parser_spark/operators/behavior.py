@@ -194,3 +194,32 @@ def anomaly_daily_counts(
             .alias("n_anomalies"),
         )
     )
+
+
+def interarrival_bins(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """Global distribution of per-key inter-event gaps, log2-binned in
+    MICROSECONDS: (gap_bin, n, sum_gap_us). The poll-rate/think-time
+    profile that sizes sessionization gaps and cache TTLs. One window
+    shuffle (lag over the key), then a map-side-combined ≤ ~46-bin
+    aggregate; µs integers end-to-end (unix_micros ↔ epoch_us) so the
+    DuckDB oracle agrees exactly. First event per key has no gap and
+    is excluded."""
+    from .aggregate import log2_bin
+
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    return (
+        df.select(gap.alias("_gap"))
+        .filter(F.col("_gap").isNotNull())
+        .groupBy(log2_bin(F.col("_gap")).alias("gap_bin"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("_gap").cast("long").alias("sum_gap_us"),
+        )
+    )
