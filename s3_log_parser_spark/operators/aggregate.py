@@ -414,21 +414,53 @@ def cube_counts(
     dims: list[str],
     measure: Column | None = None,
     measure_name: str = "sum_measure",
+    persist_base: bool = True,
 ) -> DataFrame:
-    """All 2^len(dims) grouping-set margins in ONE pass
-    (``df.cube(...)``): per-cell row count + an optional integer
-    measure sum, with ``grouping_id`` disambiguating real NULL cells
-    from margin rows. Spark plans this as a single Expand + one
-    aggregate — same cost shape as len(dims) separate groupBys but one
-    scan of the input."""
-    cube = df.cube(*dims)
-    aggs = [
-        F.grouping_id().cast("long").alias("grouping_id"),
-        F.count("*").cast("long").alias("n"),
-    ]
+    """All 2^len(dims) grouping-set margins with the raw input scanned
+    ONCE: per-cell row count + an optional integer measure sum, and a
+    ``grouping_id`` (same bit convention as ``GROUPING()`` — dims[0]
+    is the high bit) disambiguating margin NULLs from data NULLs.
+
+    Scale shape — same doctrine as ``time_rollup``: ``df.cube()``
+    plans an ``Expand`` node that replicates every INPUT row once per
+    grouping set (2^d × a 100 TB scan into the partial aggregate).
+    Counts and sums are additive, so instead the finest cell table is
+    aggregated once (map-side combine, one shuffle of |cells| rows)
+    and every margin re-aggregates THAT — a table ~|dims cardinality
+    product| rows, not raw. ``persist_base`` pins it so the margin
+    branches don't re-trigger the scan; at production scale it's a
+    written table (the OLAP-cube materialization)."""
+    if not dims:
+        raise ValueError("cube_counts needs at least one dim")
+    aggs = [F.count("*").cast("long").alias("n")]
     if measure is not None:
         aggs.append(F.sum(measure).cast("long").alias(measure_name))
-    return cube.agg(*aggs)
+    finest = df.groupBy(*dims).agg(*aggs)
+    if persist_base:
+        finest = finest.persist()
+    mcols = ["n"] + ([measure_name] if measure is not None else [])
+    resum = [F.sum(c).cast("long").alias(c) for c in mcols]
+    d = len(dims)
+    parts = []
+    for gid in range(1 << d):
+        dropped = [
+            dims[i] for i in range(d) if (gid >> (d - 1 - i)) & 1
+        ]
+        kept = [c for c in dims if c not in dropped]
+        g = finest.groupBy(*kept).agg(*resum) if kept else finest.agg(*resum)
+        sel = [
+            F.lit(None).cast(dict(finest.dtypes)[c]).alias(c)
+            if c in dropped
+            else F.col(c)
+            for c in dims
+        ]
+        parts.append(
+            g.select(*sel, F.lit(gid).cast("long").alias("grouping_id"), *mcols)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def log2_bin(v: Column) -> Column:
