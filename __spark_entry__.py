@@ -2419,6 +2419,8 @@ _DRIVER_PRIORITY = [
     "cube_margin_counts",
     "value_histogram_bins",
     "interarrival_gap_bins",
+    "tpch_q6_forecast_revenue",
+    "tpch_q3_shipping_priority",
 ]
 
 # long-stable single-op rows rotated past the 50-query window: each was
@@ -2513,6 +2515,12 @@ _DRIVER_ROTATED_OUT = [
     "st2_chunk_flags",
     "dedup_exact_groups",
     "csv_sink_roundtrip",
+    # rotated for tpch q3/q6: j3's salted-join pattern stays pinned by
+    # the in-window key_skew_profile + router salt pytest, and
+    # route_fanout's consolidated counts are a strict subset of the
+    # in-window pipeline_sink_routing oracle
+    "j3_salted_skew_join",
+    "route_fanout_counts",
 ]
 
 
@@ -3460,6 +3468,101 @@ def _interarrival(spark, sf):
     from s3_log_parser_spark.operators.behavior import interarrival_bins
 
     return interarrival_bins(_t(spark, sf, "events"))
+
+
+@q(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_x10000,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+)
+def _tpch_q6(spark, sf):
+    # TPC-H Q6: the pushdown showcase — every predicate reaches the
+    # parquet scan (PushedFilters on l_shipdate/l_quantity) and the
+    # plan is scan → filter → one partial+final agg, no exchange of
+    # anything but a 1-row partial. Revenue in integer 1e-4 units
+    # (cents × discount-percent) — float sums are order-sensitive
+    # across engines, integer sums aren't
+    li = _t(spark, sf, "lineitem")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & disc.between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(price * disc).cast("long").alias("revenue_x10000"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+    )
+
+
+@q(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_x10000,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue_x10000 DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def _tpch_q3(spark, sf):
+    # TPC-H Q3: segment-filtered customers BROADCAST into the
+    # date-filtered orders (the one dim-shaped side), then ONE shuffle
+    # join of orders×lineitem on the order key; top-10 via
+    # TakeOrderedAndProject (per-partition heaps + driver merge of 10
+    # rows — never a global sort). Revenue integer-scaled as in q6;
+    # the date is formatted to a string (cross-engine timestamp
+    # hashing is representation-sensitive)
+    cut = F.lit("1998-06-01").cast("timestamp")
+    c = _t(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < cut).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > cut).select(
+        "l_orderkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("_rev"),
+    )
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        li, li.l_orderkey == o.o_orderkey
+    )
+    return (
+        j.groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum("_rev").cast("long").alias("revenue_x10000"))
+        .select(
+            "l_orderkey",
+            "revenue_x10000",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+        .orderBy(F.col("revenue_x10000").desc(), "l_orderkey")
+        .limit(10)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

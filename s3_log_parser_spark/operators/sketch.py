@@ -99,7 +99,16 @@ def hll_rank_cols(
     """(bucket, rank) of one key: low ``p`` hash bits pick the
     register, the remaining ``HLL_BITS-p`` bits' leading-zero count
     (+1) is the rank. ``length(bin(w))`` is the exact bit length — no
-    float log2, whose floor misrounds at power-of-two boundaries."""
+    float log2, whose floor misrounds at power-of-two boundaries.
+
+    The hash expression appears 6× in the optimized Project (bucket,
+    the w=0 guard, and the bin() argument each re-inline it — project
+    collapse undoes any manual CSE). That is fine HERE, unlike the
+    MinHash K-column case: all six copies are canonically IDENTICAL,
+    so whole-stage codegen's runtime subexpression elimination computes
+    the fold once per row (measured: hll_sketch == one bare fold,
+    0.71 s at sf0.1). MinHash's K copies were K *different*
+    expressions — nothing to eliminate — hence its explode rewrite."""
     h = _hash31(key, mode)
     m = 1 << p
     suffix_bits = HLL_BITS - p

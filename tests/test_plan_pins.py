@@ -1,0 +1,90 @@
+"""Physical-plan pins for the round-5 analytics tier: the properties
+that make these operators survive a 100× scale-up (pushdown, broadcast
+choice, heap-based top-k, bounded sketch exchanges, no Python)."""
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_tpch_q6_predicates_reach_the_scan(spark):
+    plan = _plan(entry.queries()["tpch_q6_forecast_revenue"](spark, SF))
+    assert "PushedFilters" in plan
+    # the date range and quantity bound must be pushed, not residual
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_shipdate" in ln for ln in pushed)
+    assert any("l_quantity" in ln for ln in pushed)
+    assert "Python" not in plan
+
+
+def test_tpch_q3_broadcasts_customer_and_heaps_topk(spark):
+    plan = _plan(entry.queries()["tpch_q3_shipping_priority"](spark, SF))
+    assert "BroadcastHashJoin" in plan  # filtered customer side
+    # global top-10 = per-partition heaps + driver merge, never a sort
+    # of the full aggregate
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan
+
+
+def test_hll_sketch_plan_is_one_bounded_aggregate(spark):
+    from s3_log_parser_spark.operators.sketch import hll_sketch
+
+    df = spark.range(1000).select(F.col("id").cast("string").alias("k"))
+    plan = _plan(hll_sketch(df, "k"))
+    # tree section: one partial→final exchange ("(n) Exchange" appears
+    # once in the node list and once in the detail block)
+    assert plan.count("+- Exchange") == 1
+    assert "HashAggregate" in plan
+    assert "Python" not in plan
+
+
+def test_cms_sketch_plan_is_one_bounded_aggregate(spark):
+    from s3_log_parser_spark.operators.sketch import cms_sketch
+
+    df = spark.range(1000).select(F.col("id").cast("string").alias("k"))
+    plan = _plan(cms_sketch(df, "k"))
+    assert plan.count("+- Exchange") == 1
+    assert "Python" not in plan
+
+
+def test_cms_lookup_broadcasts_the_grid(spark):
+    from s3_log_parser_spark.operators.sketch import cms_lookup, cms_sketch
+
+    df = spark.range(1000).select(F.col("id").cast("string").alias("k"))
+    sk = cms_sketch(df, "k", width=64)
+    plan = _plan(cms_lookup(sk, df.limit(5), "k", width=64))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cube_counts_margins_read_cached_cells_not_raw(spark, tmp_path):
+    from s3_log_parser_spark.operators.aggregate import cube_counts
+
+    p = str(tmp_path / "cells")
+    spark.createDataFrame(
+        [("a", i % 3, i) for i in range(100)], "t string, w long, v long"
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    out = cube_counts(df, ["t", "w"], F.col("v"))
+    plan = _plan(out)
+    # every grouping-set branch reads the persisted finest tier (an
+    # InMemoryTableScan), never raw parquet: the only parquet scan in
+    # the tree is the ONE node inside the cached relation (the
+    # formatted plan re-displays it per branch under the same node id)
+    import re
+
+    ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
+    assert len(ids) == 1
+    assert plan.count("InMemoryTableScan") >= 4
