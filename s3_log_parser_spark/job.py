@@ -12,6 +12,8 @@ Subcommands:
              s3extract.c:39-62): counts + (optionally) grouped members
   run      — full parse → enrich → route → aggregate DAG with
              manifest resume (the production pipeline)
+  prep     — documents → dedup/decontam/quality corpus + budgets
+  compact  — small-file maintenance pass over a parquet sink
 """
 
 from __future__ import annotations
@@ -238,6 +240,21 @@ def cmd_prep(args) -> None:
         df.unpersist()
 
 
+def cmd_compact(args) -> None:
+    from .sources.maintenance import compact_table
+
+    spark = _spark(args)
+    res = compact_table(
+        spark, args.path, target_bytes=args.target_bytes,
+        min_files=args.min_files,
+    )
+    print(
+        f"compacted {res.partitions_compacted}/{res.partitions_seen} "
+        f"partitions: {res.files_before} -> {res.files_after} files "
+        f"({res.bytes} bytes rewritten)"
+    )
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="s3lp-spark")
     p.add_argument("--cores", help="local[N] cores (default: all)")
@@ -323,9 +340,18 @@ def main(argv: list[str] | None = None) -> None:
     pr.add_argument("--pack-ids", choices=["bpe", "djb2"], default="bpe",
                     help="token ids for packing (bpe = real tokenizer)")
 
+    co = sub.add_parser(
+        "compact",
+        help="rewrite small-file partitions of a parquet sink in place "
+        "(the maintenance pass after streaming ingest / salted writes)",
+    )
+    co.add_argument("-p", "--path", required=True)
+    co.add_argument("--target-bytes", type=int, default=128 << 20)
+    co.add_argument("--min-files", type=int, default=2)
+
     args = p.parse_args(argv)
     {"gen": cmd_gen, "parse": cmd_parse, "extract": cmd_extract,
-     "run": cmd_run, "prep": cmd_prep}[args.cmd](args)
+     "run": cmd_run, "prep": cmd_prep, "compact": cmd_compact}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -90,6 +90,21 @@ class Catalog:
         else:
             w.append()
 
+    def compact(self, table: str, target_bytes: int = 128 << 20):
+        """Small-file compaction through the format seam: Iceberg's
+        snapshot-isolated ``rewrite_data_files`` procedure when a
+        catalog is configured, the single-writer parquet rewrite
+        (``sources.maintenance.compact_table``) otherwise."""
+        if self.iceberg:  # pragma: no cover - no runtime jar in sandbox
+            return self.spark.sql(
+                "CALL spark_catalog.system.rewrite_data_files("
+                f"table => '{table}', "
+                f"options => map('target-file-size-bytes','{target_bytes}'))"
+            )
+        from .maintenance import compact_table
+
+        return compact_table(self.spark, self.path(table), target_bytes)
+
     def read(self, table: str) -> DataFrame:
         if self.iceberg:  # pragma: no cover
             return self.spark.table(table)
