@@ -2421,6 +2421,7 @@ _DRIVER_PRIORITY = [
     "interarrival_gap_bins",
     "tpch_q6_forecast_revenue",
     "tpch_q3_shipping_priority",
+    "audit_report",
 ]
 
 # long-stable single-op rows rotated past the 50-query window: each was
@@ -3563,6 +3564,93 @@ def _tpch_q3(spark, sf):
         .orderBy(F.col("revenue_x10000").desc(), "l_orderkey")
         .limit(10)
     )
+
+
+@q(
+    "audit_report",
+    """
+    WITH b AS (
+      SELECT event_id, user_id, event_type, value,
+             CASE WHEN event_id % 97 = 0 THEN NULL ELSE props END AS props
+      FROM events
+    ), a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total,
+             CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS f_nn,
+             CAST(SUM(CASE WHEN value IS NOT NULL
+                           AND NOT (value BETWEEN 0 AND 400)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS f_rng,
+             CAST(SUM(CASE WHEN event_type IS NOT NULL AND event_type
+                           NOT IN ('click','view','signup','purchase')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS f_acc,
+             CAST(SUM(CASE WHEN props IS NOT NULL AND NOT
+                           regexp_matches(props, '^\\{.*\\}$')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS f_re,
+             CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS f_uid,
+             CAST(COUNT(*) - COUNT(DISTINCT user_id) AS BIGINT) AS f_uu
+      FROM b
+    )
+    SELECT "check", failed, total,
+           CAST(failed <= budget AS INTEGER) AS passed
+    FROM (
+      SELECT 'not_null(props)' AS "check", f_nn AS failed, total,
+             CAST(0 AS BIGINT) AS budget FROM a
+      UNION ALL SELECT 'in_range(value,0,400)', f_rng, total, 0 FROM a
+      UNION ALL SELECT 'accepted_values(event_type)', f_acc, total, 0 FROM a
+      UNION ALL SELECT 'matches(props)', f_re, total, 0 FROM a
+      UNION ALL SELECT 'unique(event_id)', f_uid, total, 0 FROM a
+      UNION ALL SELECT 'unique(user_id)', f_uu, total, 0 FROM a
+      UNION ALL SELECT 'null_ratio(props)', f_nn, total,
+                CAST(floor(total * 15 / 1000) AS BIGINT) FROM a
+    )
+    ORDER BY 1
+    """,
+)
+def _audit_report(spark, sf):
+    # Deequ-shaped batch gate: every declared expectation compiles to
+    # an aggregate expression over ONE scan (operators/audit.py) — a
+    # 7-check audit of a 100 TB batch costs one map-side-combined
+    # aggregate, not 7 jobs. A deterministic slice of props is nulled
+    # to exercise failure counting; null_ratio carries a 15-per-mille
+    # budget (passes at ~1.03% nulls) while not_null's zero budget
+    # fails — same failure count, different contracts. unique() runs
+    # inside the same aggregate via count_distinct; user_id is the
+    # deliberately-failing uniqueness check (150 users × ~67 events).
+    from s3_log_parser_spark.operators.audit import (
+        Check,
+        accepted_values,
+        audit,
+        in_range,
+        matches,
+        not_null,
+        unique,
+    )
+
+    ev = _t(spark, sf, "events").withColumn(
+        "props",
+        F.when(F.col("event_id") % 97 == 0, F.lit(None)).otherwise(
+            F.col("props")
+        ),
+    )
+    rep = audit(
+        ev,
+        [
+            not_null("props"),
+            in_range("value", 0, 400),
+            accepted_values(
+                "event_type", ["click", "view", "signup", "purchase"]
+            ),
+            matches("props", r"^\{.*\}$"),
+            unique("event_id"),
+            unique("user_id"),
+            Check(
+                name="null_ratio(props)",
+                fail_expr=F.col("props").isNull(),
+                max_failed_ratio_x1000=15,
+            ),
+        ],
+    )
+    return rep.withColumn("passed", F.col("passed").cast("int"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
