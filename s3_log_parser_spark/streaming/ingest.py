@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ..operators.audit import Check, audit
 from ..operators.dedup import (
     append_to_dedup_index,
     exact_dedup,
@@ -54,6 +55,8 @@ def start_ingest(
     near: bool = True,
     threshold_x1000: int = 500,
     trigger_once: bool = True,
+    checks: list[Check] | None = None,
+    on_audit_fail: str = "raise",
 ) -> StreamingQuery:
     """start the ingestion stream: per micro-batch, intra-batch exact
     dedup → :func:`incremental_dedup` against the index at
@@ -61,10 +64,49 @@ def start_ingest(
     silently mix hash families) → accepted docs to
     ``{out_dir}/accepted`` (partitioned by ``_batch``) → index append.
     ``trigger_once`` drains available input and stops (the daily-batch
-    deployment mode); ``False`` runs continuously."""
+    deployment mode); ``False`` runs continuously.
+
+    ``checks`` (``operators.audit`` expectations) gate each batch
+    BEFORE any dedup work touches it: the one-scan audit report is
+    written to ``{out_dir}/audit`` (partitioned by ``_batch`` — the
+    auditable trail of what each batch looked like, replay-safe via
+    dynamic overwrite like the accepted output), and on any failed
+    check the batch is either aborted (``on_audit_fail="raise"``, the
+    stop-the-line default) or skipped whole (``"skip"`` — the report
+    partition records why a batch is absent from accepted). Batch-
+    level, not row-level, by design: a failed expectation means the
+    UPSTREAM producer broke contract, and quarantining individual
+    rows would hide that."""
+    if on_audit_fail not in ("raise", "skip"):
+        raise ValueError(
+            f"on_audit_fail must be 'raise' or 'skip', got {on_audit_fail!r}"
+        )
 
     def ingest_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        if checks:
+            rep = audit(batch, checks).withColumn(
+                "_batch", F.lit(batch_id)
+            )
+            (
+                rep.coalesce(1)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch")
+                .parquet(f"{out_dir}/audit")
+            )
+            failed = [
+                r["check"]
+                for r in spark.read.parquet(f"{out_dir}/audit")
+                .filter((F.col("_batch") == batch_id) & ~F.col("passed"))
+                .collect()
+            ]
+            if failed:
+                if on_audit_fail == "raise":
+                    raise ValueError(
+                        f"ingest batch {batch_id} failed audit: {failed}"
+                    )
+                return  # skip the batch; the audit table records why
         batch = exact_dedup(
             batch, key_cols=(text_col,), order=(id_col,)
         ).drop("dup_count")

@@ -320,3 +320,107 @@ def test_streaming_ingest_incremental_dedup(spark, tmp_path):
     # and the index grew by exactly the accepted docs' signatures
     sigs = spark.read.parquet(f"{idx_dir}/sigs")
     assert {r["id"] for r in sigs.collect()} == {0, 101, 201}
+
+
+def test_ingest_audit_gate_skips_bad_batch(spark, tmp_path):
+    """checks= gates each micro-batch: a contract-breaking batch is
+    skipped whole (on_audit_fail='skip'), its report row records why,
+    and a clean batch ingests normally."""
+    import os
+    import time
+
+    from s3_log_parser_spark.operators.audit import not_null
+    from s3_log_parser_spark.operators.dedup import (
+        build_dedup_index,
+        write_dedup_index,
+    )
+    from s3_log_parser_spark.streaming.ingest import start_ingest
+
+    good = (
+        "perfectly valid document text about harbor lights and the "
+        "slow turning of autumn tides on a cold evening"
+    )
+    idx_dir = str(tmp_path / "idx")
+    seed = spark.createDataFrame(
+        [(0, "seed history document with plenty of distinct words here "
+             "covering boats trains and mountain weather")],
+        "doc_id long, text string",
+    )
+    write_dedup_index(build_dedup_index(seed), idx_dir)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # batch 1 breaks the not_null(text) contract; batch 2 is clean
+    spark.createDataFrame(
+        [(100, None), (101, good)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{src}/f1")
+    spark.createDataFrame(
+        [(200, good + " with a fresh unique suffix clause")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(f"{src}/f2")
+    now = time.time()
+    for i, d in enumerate(("f1", "f2")):
+        for f in os.listdir(f"{src}/{d}"):
+            os.utime(f"{src}/{d}/{f}", (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = str(tmp_path / "out")
+    q = start_ingest(
+        stream, idx_dir, out, str(tmp_path / "ckpt"),
+        checks=[not_null("text", "doc_id")], on_audit_fail="skip",
+    )
+    q.awaitTermination(120)
+
+    accepted = {
+        r["doc_id"] for r in spark.read.parquet(f"{out}/accepted").collect()
+    }
+    assert accepted == {200}  # bad batch skipped WHOLE (101 too)
+    audit_tbl = spark.read.parquet(f"{out}/audit")
+    by_batch = {
+        r["_batch"]: (r["failed"], r["passed"]) for r in audit_tbl.collect()
+    }
+    assert len(by_batch) == 2
+    assert sorted(v for v in by_batch.values()) == [(0, True), (1, False)]
+    # the skipped batch left no trace in the index
+    sigs = spark.read.parquet(f"{idx_dir}/sigs")
+    assert {r["id"] for r in sigs.collect()} == {0, 200}
+
+
+def test_ingest_audit_gate_raise_mode_stops_stream(spark, tmp_path):
+    import os
+
+    from s3_log_parser_spark.operators.audit import not_null
+    from s3_log_parser_spark.operators.dedup import (
+        build_dedup_index,
+        write_dedup_index,
+    )
+    from s3_log_parser_spark.streaming.ingest import start_ingest
+
+    idx_dir = str(tmp_path / "idx")
+    seed = spark.createDataFrame(
+        [(0, "seed history document words boats trains weather")],
+        "doc_id long, text string",
+    )
+    write_dedup_index(build_dedup_index(seed), idx_dir)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(100, None)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{src}/f1")
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        f"{src}/*"
+    )
+    q = start_ingest(
+        stream, idx_dir, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        checks=[not_null("text")],  # default on_audit_fail="raise"
+    )
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with _pytest.raises(StreamingQueryException, match="failed audit"):
+        q.awaitTermination(120)
