@@ -162,20 +162,17 @@ def foreign_key(
     max_failed: int = 0,
 ) -> DataFrame:
     """Referential-integrity check: fact rows whose non-NULL ``key``
-    has no match in ``dim``. The dim is broadcast (dims are small by
-    definition — else the check belongs in a join audit), so the fact
-    side never shuffles. Same report schema as :func:`audit`."""
-    orphans = (
-        fact.filter(F.col(key).isNotNull())
-        .join(
-            F.broadcast(dim.select(F.col(dim_key).alias(key)).distinct()),
-            on=key,
-            how="left_anti",
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("failed"))
-    )
-    total = fact.agg(F.count(F.lit(1)).cast("long").alias("total"))
-    return orphans.crossJoin(total).select(
+    has no match in ``dim``. ONE pass over the fact table: a broadcast
+    LEFT join marks orphans (dim-side NULL) and the same aggregate
+    computes total + failed — the fact side is neither shuffled nor
+    scanned twice. Same report schema as :func:`audit`."""
+    probe = F.broadcast(dim.select(F.col(dim_key).alias("__fk")).distinct())
+    marked = fact.join(probe, fact[key] == F.col("__fk"), "left")
+    orphan = (F.col(key).isNotNull() & F.col("__fk").isNull()).cast("long")
+    return marked.agg(
+        F.coalesce(F.sum(orphan), F.lit(0)).cast("long").alias("failed"),
+        F.count(F.lit(1)).cast("long").alias("total"),
+    ).select(
         F.lit(f"foreign_key({key})").alias("check"),
         "failed",
         "total",

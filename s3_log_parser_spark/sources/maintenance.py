@@ -98,9 +98,11 @@ def partition_file_stats(
                 n += 1
                 nbytes += st.getLen()
         if n:
+            # full qualified URI (scheme + authority), NOT toUri().getPath()
+            # — stripping the scheme would make compact_table re-resolve
+            # an s3a:// partition against the default filesystem
             out.append(
-                PartitionStats(path=str(jdir.toUri().getPath()), n_files=n,
-                               bytes=nbytes)
+                PartitionStats(path=str(jdir), n_files=n, bytes=nbytes)
             )
 
     walk(root)
@@ -155,8 +157,15 @@ def compact_table(
         if n_out >= p.n_files:  # rewrite would not shrink the file count
             continue
         run_id = uuid.uuid4().hex[:12]
-        staged = f"{p.path}.compact-staged.{run_id}"
-        old = f"{p.path}.compact-old.{run_id}"
+        # staged/old live as HIDDEN siblings (dot-prefixed basename):
+        # Spark partition discovery, DuckDB globs, and this module's
+        # own walker all skip dot/underscore names, so a concurrent
+        # reader or a crash-leftover can never be parsed as a real
+        # partition (a visible `day=0.compact-staged.x` sibling would
+        # double-read every row with a bogus partition value)
+        parent, base = os.path.split(p.path.rstrip("/"))
+        staged = f"{parent}/.{base}.compact-staged.{run_id}"
+        old = f"{parent}/.{base}.compact-old.{run_id}"
 
         # read ONLY this leaf dir: no partition discovery, no schema
         # merge with sibling partitions — the rewrite is local to the
@@ -176,9 +185,11 @@ def compact_table(
         # only data files, like the partition it replaces
         fs.delete(JPath(os.path.join(staged, "_SUCCESS")), False)
         if not fs.rename(JPath(p.path), JPath(old)):  # pragma: no cover
+            fs.delete(JPath(staged), True)
             raise RuntimeError(f"compact_table: rename away failed: {p.path}")
         if not fs.rename(JPath(staged), JPath(p.path)):  # pragma: no cover
             fs.rename(JPath(old), JPath(p.path))  # roll back
+            fs.delete(JPath(staged), True)
             raise RuntimeError(f"compact_table: swap-in failed: {p.path}")
         fs.delete(JPath(old), True)
 

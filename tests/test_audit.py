@@ -141,16 +141,22 @@ def test_foreign_key_orphans_and_broadcast(spark):
         [("search",), ("edit",)], "tool_name string"
     )
     rep = foreign_key(fact, "tool", dim, "tool_name")
-    row = rep.collect()[0]
-    assert (row["check"], row["failed"], row["total"], row["passed"]) == (
-        "foreign_key(tool)", 1, 6, False,
-    )
+    # explain BEFORE the action: the post-collect AQE explain shows
+    # both the initial and final trees, double-counting scan ids
     buf = io.StringIO()
     with redirect_stdout(buf):
         rep.explain("formatted")
     plan = buf.getvalue()
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    row = rep.collect()[0]
+    assert (row["check"], row["failed"], row["total"], row["passed"]) == (
+        "foreign_key(tool)", 1, 6, False,
+    )
+    # one pass: broadcast LEFT join marks orphans, a single aggregate
+    # computes failed+total — no anti-join second scan of the fact
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
     assert "SortMergeJoin" not in plan
+    scans = set(re.findall(r"Scan ExistingRDD\s*\((\d+)\)", plan))
+    assert len(scans) == 2  # fact + dim, each exactly once
 
 
 def test_audit_gate_raises_with_failed_names(spark):

@@ -1,11 +1,13 @@
 """Streaming sketch maintenance: cross-batch merge equals the batch
-sketch of all data; HLL replay idempotence; CMS replay guard."""
+sketch of all data; HLL replay idempotence; CMS crash-replay no-op vs
+lineage-reset refusal; staged-overwrite hidden leftovers invisible."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from s3_log_parser_spark.operators.sketch import cms_sketch, hll_sketch
 from s3_log_parser_spark.streaming.sketches import (
-    read_cms_table,
+    cms_counters,
     read_hll_table,
     start_cms_stream,
     start_hll_stream,
@@ -56,7 +58,7 @@ def test_hll_fold_is_replay_idempotent(spark, tmp_path_factory):
     assert after == before
 
 
-def test_cms_stream_merges_and_skips_replayed_batch(spark, tmp_path_factory):
+def test_cms_stream_merges_across_batches(spark, tmp_path_factory):
     src = str(tmp_path_factory.mktemp("cms_src"))
     tbl = str(tmp_path_factory.mktemp("cms_out")) + "/counters"
     ckpt = str(tmp_path_factory.mktemp("cms_ckpt"))
@@ -72,18 +74,76 @@ def test_cms_stream_merges_and_skips_replayed_batch(spark, tmp_path_factory):
     want = sorted(
         map(tuple, cms_sketch(_keys(spark, 0, 900), "k", width=64).collect())
     )
-    got = sorted(
-        map(tuple, read_cms_table(spark, tbl).drop("_batch").collect())
-    )
+    got = sorted(map(tuple, cms_counters(spark, tbl).collect()))
     assert got == want
 
-    # a NEW stream over the same source replays batch 0+1 with the same
-    # ids from the fresh checkpoint — without the high-water mark the
-    # counters would double. Simulate by re-running with a fresh ckpt:
-    ckpt2 = str(tmp_path_factory.mktemp("cms_ckpt2"))
+
+def test_cms_identical_replay_is_noop(spark, tmp_path_factory):
+    """Fresh checkpoint over an UNCHANGED source re-delivers the same
+    content as batch 0: the fingerprint matches, so the fold is
+    skipped and the counters stay exact."""
+    src = str(tmp_path_factory.mktemp("cms_src2"))
+    tbl = str(tmp_path_factory.mktemp("cms_out2")) + "/counters"
+
+    _keys(spark, 0, 500).write.mode("append").parquet(src)
     stream = spark.readStream.schema("k string").parquet(src)
-    start_cms_stream(stream, tbl, ckpt2, width=64).awaitTermination(120)
-    got2 = sorted(
-        map(tuple, read_cms_table(spark, tbl).drop("_batch").collect())
+    start_cms_stream(
+        stream, tbl, str(tmp_path_factory.mktemp("ck1")), width=64
+    ).awaitTermination(120)
+    want = sorted(map(tuple, cms_counters(spark, tbl).collect()))
+
+    stream = spark.readStream.schema("k string").parquet(src)
+    start_cms_stream(
+        stream, tbl, str(tmp_path_factory.mktemp("ck2")), width=64
+    ).awaitTermination(120)
+    got = sorted(map(tuple, cms_counters(spark, tbl).collect()))
+    assert got == want  # no double-count
+
+
+def test_cms_lineage_reset_over_changed_source_raises(
+    spark, tmp_path_factory
+):
+    """A fresh checkpoint over a CHANGED source delivers different
+    content under an already-folded batch id — there is no safe
+    merge, so the stream must fail loudly (an id-only high-water
+    mark would have silently dropped the new keys)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src = str(tmp_path_factory.mktemp("cms_src3"))
+    tbl = str(tmp_path_factory.mktemp("cms_out3")) + "/counters"
+
+    _keys(spark, 0, 500).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("k string").parquet(src)
+    start_cms_stream(
+        stream, tbl, str(tmp_path_factory.mktemp("ck1")), width=64
+    ).awaitTermination(120)
+    before = sorted(map(tuple, cms_counters(spark, tbl).collect()))
+
+    # new data arrives, then the checkpoint is lost: the fresh run
+    # re-delivers old+new as batch 0
+    _keys(spark, 500, 900).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("k string").parquet(src)
+    q = start_cms_stream(
+        stream, tbl, str(tmp_path_factory.mktemp("ck2")), width=64
     )
-    assert got2 == want  # high-water mark skipped the replay
+    with pytest.raises(StreamingQueryException, match="lineage reset"):
+        q.awaitTermination(120)
+    after = sorted(map(tuple, cms_counters(spark, tbl).collect()))
+    assert after == before  # refused, not corrupted
+
+
+def test_staged_overwrite_leaves_no_visible_siblings(
+    spark, tmp_path_factory
+):
+    import os
+
+    out = str(tmp_path_factory.mktemp("hll_swap"))
+    tbl = out + "/registers"
+    from s3_log_parser_spark.streaming.sketches import _overwrite_tiny
+
+    _overwrite_tiny(hll_sketch(_keys(spark, 0, 100), "k"), tbl)
+    _overwrite_tiny(hll_sketch(_keys(spark, 0, 200), "k"), tbl)
+    visible = [e for e in os.listdir(out) if not e.startswith(".")]
+    assert visible == ["registers"]
+    # no hidden staged/old leftovers either on the happy path
+    assert [e for e in os.listdir(out) if e.startswith(".")] == []
