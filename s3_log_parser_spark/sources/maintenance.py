@@ -235,7 +235,9 @@ def file_column_ranges(path: str, column: str) -> list[tuple]:
     footer statistics (pyarrow, no Spark) — the observable a reader's
     skipping decision is made from. Returns one tuple per file, sorted
     by min. Used by tests and by operators wanting to VERIFY a layout
-    claim instead of trusting it."""
+    claim instead of trusting it. Local paths only (``os.walk``): this
+    is the verification helper, not part of the write path — remote
+    tables verify on a downloaded sample."""
     import pyarrow.parquet as pq
 
     ranges = []
