@@ -3586,8 +3586,10 @@ def _tpch_q3(spark, sf):
              CAST(SUM(CASE WHEN props IS NOT NULL AND NOT
                            regexp_matches(props, '^\\{.*\\}$')
                            THEN 1 ELSE 0 END) AS BIGINT) AS f_re,
-             CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS f_uid,
-             CAST(COUNT(*) - COUNT(DISTINCT user_id) AS BIGINT) AS f_uu
+             CAST(COUNT(event_id) - COUNT(DISTINCT event_id) AS BIGINT)
+               AS f_uid,
+             CAST(COUNT(user_id) - COUNT(DISTINCT user_id) AS BIGINT)
+               AS f_uu
       FROM b
     )
     SELECT "check", failed, total,

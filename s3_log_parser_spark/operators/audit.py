@@ -14,10 +14,11 @@ Check algebra (all pure Catalyst, zero Python):
 - row-level checks count failing rows with a conditional sum — the
   SQL ``COUNT(*) FILTER (WHERE NOT ok)`` shape, so the report says
   how MANY rows violate, not just that one did;
-- ``unique`` compares ``count(*)`` to ``count_distinct(cols)`` inside
-  the same aggregate (Catalyst plans the distinct via one Expand —
-  still a single scan); ``approx=True`` swaps in HLL++ for the
-  trillion-row case where an exact distinct's shuffle is the cost;
+- ``unique`` compares the non-NULL-key row count to
+  ``count_distinct(cols)`` inside the same aggregate (Catalyst plans
+  the distinct via one Expand — still a single scan); ``approx=True``
+  swaps in HLL++ for the trillion-row case where an exact distinct's
+  shuffle is the cost;
 - ``foreign_key`` is the one check that genuinely needs a second
   table: a broadcast left-anti probe of the dim (the fact side never
   shuffles), reported through the same schema.
@@ -90,11 +91,19 @@ def matches(col: str, pattern: str,
 
 
 def unique(*cols: str, approx: bool = False) -> Check:
-    """failed = count(*) − count(distinct cols): the number of surplus
-    rows beyond one per key. ``approx`` swaps exact distinct (one
-    Expand inside the same aggregate) for HLL++ — at trillion-row
-    scale the exact distinct's expand/shuffle IS the audit cost, and
-    a ±2% duplicate count still gates a batch."""
+    """failed = count(rows with a fully non-NULL key) − count(distinct
+    cols): the number of surplus rows beyond one per key.
+    ``count_distinct`` skips NULL keys, so the keyed count must too —
+    comparing against ``count(*)`` would report every NULL-key row as
+    a "duplicate"; NULL keys are ``not_null``'s job, not uniqueness's.
+    ``approx`` swaps exact distinct (one Expand inside the same
+    aggregate) for HLL++ — at trillion-row scale the exact distinct's
+    expand/shuffle IS the audit cost, and a ±rsd duplicate count still
+    gates a batch."""
+    keyed = None
+    for c in cols:
+        e = F.col(c).isNotNull()
+        keyed = e if keyed is None else keyed & e
     distinct = (
         F.approx_count_distinct(*[F.col(c) for c in cols])
         if approx
@@ -103,7 +112,7 @@ def unique(*cols: str, approx: bool = False) -> Check:
     return Check(
         name=f"unique({','.join(cols)})" + ("~" if approx else ""),
         fail_expr=F.lit(False),
-        agg_failed=(F.count(F.lit(1)) - distinct).cast("long"),
+        agg_failed=(F.sum(keyed.cast("long")) - distinct).cast("long"),
     )
 
 

@@ -101,6 +101,18 @@ def _null_ratio_check():
     )
 
 
+def test_unique_ignores_null_keys(spark):
+    # 2 null keys + one real duplicate: uniqueness reports ONLY the
+    # duplicate (null detection is not_null's job, and count_distinct
+    # skips nulls — counting all rows would call every null a dup)
+    df = spark.createDataFrame(
+        [(None,), (None,), (1,), (1,), (2,)], "k int"
+    )
+    rep = _report_dict(audit(df, [unique("k"), not_null("k")]))
+    assert rep["unique(k)"] == (1, 5, False)
+    assert rep["not_null(k)"] == (2, 5, False)
+
+
 def test_unique_approx_mode_close_to_exact(spark):
     df = spark.range(5000).select((F.col("id") % 4000).alias("k"))
     exact = _report_dict(audit(df, [unique("k")]))["unique(k)"]
