@@ -2422,6 +2422,7 @@ _DRIVER_PRIORITY = [
     "tpch_q6_forecast_revenue",
     "tpch_q3_shipping_priority",
     "audit_report",
+    "histogram_quantiles",
 ]
 
 # long-stable single-op rows rotated past the 50-query window: each was
@@ -3564,6 +3565,59 @@ def _tpch_q3(spark, sf):
         .orderBy(F.col("revenue_x10000").desc(), "l_orderkey")
         .limit(10)
     )
+
+
+@q(
+    "histogram_quantiles",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS v
+      FROM events
+    ), h AS (
+      SELECT event_type,
+             CAST(CASE WHEN v <= 0 THEN 0 ELSE length(bin(v)) END AS INT)
+               AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM v GROUP BY 1, 2
+    ), c AS (
+      SELECT event_type, bin, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             SUM(n) OVER (PARTITION BY event_type) AS total
+      FROM h
+    ), e AS (
+      SELECT c.*, p.p
+      FROM c CROSS JOIN (VALUES (500), (990), (999)) AS p(p)
+    ), qb AS (
+      SELECT event_type, CAST(p AS INT) AS p,
+             CAST(MIN(bin) AS INT) AS bin
+      FROM e
+      WHERE cum >= CEIL(total * p / 1000.0)
+      GROUP BY 1, 2
+    )
+    SELECT event_type, p, bin,
+           CAST(CASE WHEN bin <= 0 THEN 0
+                     ELSE (CAST(1 AS BIGINT) << (bin - 1)) END AS BIGINT)
+             AS lo,
+           CAST(CASE WHEN bin <= 0 THEN 0
+                     ELSE (CAST(1 AS BIGINT) << bin) - 1 END AS BIGINT)
+             AS hi
+    FROM qb
+    """,
+)
+def _hist_quantiles(spark, sf):
+    # sketch-level percentiles: p50/p99/p99.9 bounds per event type
+    # straight from the mergeable log2 histogram — the percentile
+    # analog of the HLL/CMS rollup (any-window quantiles without
+    # rescanning raw); exact at bin granularity, rank arithmetic
+    # structurally shared with percentiles_disc and this oracle
+    from s3_log_parser_spark.operators.aggregate import (
+        histogram_quantiles,
+        value_histogram,
+    )
+
+    h = value_histogram(_t(spark, sf, "events"), "value", keys=("event_type",))
+    return histogram_quantiles(h, ps=(500, 990, 999), keys=("event_type",))
 
 
 @q(

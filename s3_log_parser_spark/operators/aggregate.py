@@ -490,3 +490,68 @@ def value_histogram(
             F.sum("_v").cast("long").alias("sum_v"),
         )
     )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    ps: tuple[int, ...] = (500, 990),
+    keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-mille quantile BOUNDS from a persisted log2 histogram — the
+    percentile analog of the HLL/CMS rollup loop: per-day histograms
+    merge by adding ``n`` per bin (:func:`value_histogram`), so p50/p99
+    over ANY window come from the few-KB sketch table, never a rescan
+    of raw. The answer is exact at bin granularity: the value at rank
+    ``ceil(total·p/1000)`` provably lies in [lo, hi] of the returned
+    bin (factor-of-2 bounds — the log2 trade; narrower bins = a finer
+    binning function, same machinery).
+
+    Input is sketch-sized (≤ ~31 bins per key), so the one window pass
+    + per-p min-bin aggregate here costs nothing at any corpus scale —
+    the heavy lifting already happened map-side in the histogram
+    build. Rank arithmetic is the integer-product ``CEIL(total*p/
+    1000.0)`` form shared with :func:`percentiles_disc` and the DuckDB
+    oracle (structural parity, not empirical).
+    """
+    from pyspark.sql import Window
+
+    if not ps or any(not 0 < p <= 1000 for p in ps):
+        raise ValueError(f"ps must be per-mille ranks in (0, 1000]: {ps}")
+    cum_w = (
+        Window.partitionBy(*keys)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy(*keys)
+    cum = (
+        hist.withColumn("_cum", F.sum("n").over(cum_w))
+        .withColumn("_total", F.sum("n").over(tot_w))
+        .select(
+            *keys,
+            "bin",
+            "_cum",
+            "_total",
+            F.explode(F.array(*[F.lit(p) for p in ps])).alias("p"),
+        )
+    )
+    qb = (
+        cum.filter(
+            F.col("_cum") >= F.ceil(F.col("_total") * F.col("p") / 1000)
+        )
+        .groupBy(*keys, "p")
+        .agg(F.min("bin").alias("bin"))
+    )
+    # bin b (bit length) covers [2^(b-1), 2^b - 1]; bin 0 is v <= 0.
+    # b=63's upper bound is pinned to LONG_MAX explicitly (2^63 - 1
+    # via shift arithmetic would overflow under ANSI)
+    lo = F.when(F.col("bin") <= 0, F.lit(0).cast("long")).otherwise(
+        F.expr("shiftleft(1L, bin - 1)")
+    )
+    hi = (
+        F.when(F.col("bin") <= 0, F.lit(0).cast("long"))
+        .when(F.col("bin") >= 63, F.lit((1 << 63) - 1))
+        .otherwise(F.expr("shiftleft(1L, bin) - 1L"))
+    )
+    return qb.select(
+        *keys, "p", "bin", lo.alias("lo"), hi.alias("hi")
+    )

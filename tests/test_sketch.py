@@ -125,3 +125,81 @@ def test_hll_xxhash64_mode_counts(spark, keys):
     sk = hll_sketch(keys, "k", mode="xxhash64")
     est = hll_estimate(sk, correction=False).collect()[0]
     assert abs(est.est_x1000 / 1000 - 5000) < 5000 * 0.15
+
+
+# ---------------------------------------------------------------------------
+# histogram_quantiles — sketch-level percentiles from log2 histograms
+# ---------------------------------------------------------------------------
+
+
+def _hq(spark, values, ps=(500, 990)):
+    from pyspark.sql import functions as F
+
+    from s3_log_parser_spark.operators.aggregate import (
+        histogram_quantiles,
+        value_histogram,
+    )
+
+    df = spark.createDataFrame([(float(v),) for v in values], "value double")
+    h = value_histogram(df, "value")
+    return {
+        r["p"]: (r["bin"], r["lo"], r["hi"])
+        for r in histogram_quantiles(h, ps=ps).collect()
+    }
+
+
+def test_histogram_quantile_bounds_contain_true_percentile(spark):
+    import math
+
+    values = [0.001 * (i * i % 977 + 1) for i in range(1, 500)]
+    got = _hq(spark, values, ps=(500, 990, 999))
+    fixed = sorted(round(v * 1000) for v in values)
+    for p, (b, lo, hi) in got.items():
+        true_val = fixed[math.ceil(len(fixed) * p / 1000) - 1]
+        assert lo <= true_val <= hi, (p, lo, true_val, hi)
+
+
+def test_histogram_quantiles_exact_tiny_case(spark):
+    # fixed-point values 1,2,3,4,8 → bins 1,2,2,3,4; p500 rank 3 → bin 2
+    # (cum: 1,3,4,5), p990 rank 5 → bin 4
+    got = _hq(spark, [0.001, 0.002, 0.003, 0.004, 0.008])
+    assert got[500] == (2, 2, 3)
+    assert got[990] == (4, 8, 15)
+
+
+def test_histogram_quantiles_merge_equals_full(spark):
+    from pyspark.sql import functions as F
+
+    from s3_log_parser_spark.operators.aggregate import (
+        histogram_quantiles,
+        value_histogram,
+    )
+
+    vals = [0.001 * ((7 * i) % 301 + 1) for i in range(400)]
+    mk = lambda vs: value_histogram(  # noqa: E731
+        spark.createDataFrame([(float(v),) for v in vs], "value double"),
+        "value",
+    )
+    # "daily" histograms merge by re-aggregating bins, then quantiles
+    # of the merged sketch == quantiles of the full-data sketch
+    merged = (
+        mk(vals[:150])
+        .unionByName(mk(vals[150:]))
+        .groupBy("bin")
+        .agg(F.sum("n").alias("n"), F.sum("sum_v").alias("sum_v"))
+    )
+    full = mk(vals)
+    a = sorted(map(tuple, histogram_quantiles(merged).collect()))
+    b = sorted(map(tuple, histogram_quantiles(full).collect()))
+    assert a == b
+
+
+def test_histogram_quantiles_rejects_bad_ps(spark):
+    import pytest
+    from s3_log_parser_spark.operators.aggregate import histogram_quantiles
+
+    h = spark.createDataFrame([(1, 1, 1)], "bin int, n long, sum_v long")
+    with pytest.raises(ValueError, match="per-mille"):
+        histogram_quantiles(h, ps=(0,))
+    with pytest.raises(ValueError, match="per-mille"):
+        histogram_quantiles(h, ps=(1001,))
