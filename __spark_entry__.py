@@ -2423,6 +2423,7 @@ _DRIVER_PRIORITY = [
     "tpch_q3_shipping_priority",
     "audit_report",
     "histogram_quantiles",
+    "time_rollup_refresh",
 ]
 
 # long-stable single-op rows rotated past the 50-query window: each was
@@ -2710,6 +2711,52 @@ def _time_rollup_counts(spark, sf):
     from s3_log_parser_spark.operators.aggregate import time_rollup
 
     return time_rollup(_t(spark, sf, "events"))
+
+
+@q(
+    "time_rollup_refresh",
+    """
+    WITH base AS (
+      SELECT event_type, date_trunc('minute', ts) AS b,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+               AS sum_value_x100
+      FROM events GROUP BY 1, 2
+    )
+    SELECT 'minute' AS resolution, event_type,
+           strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           n_events, sum_value_x100
+    FROM base
+    UNION ALL
+    SELECT 'hour', event_type,
+           strftime(date_trunc('hour', b), '%Y-%m-%d %H:%M:%S'),
+           CAST(SUM(n_events) AS BIGINT),
+           CAST(SUM(sum_value_x100) AS BIGINT)
+    FROM base GROUP BY 2, date_trunc('hour', b)
+    UNION ALL
+    SELECT 'day', event_type,
+           strftime(date_trunc('day', b), '%Y-%m-%d %H:%M:%S'),
+           CAST(SUM(n_events) AS BIGINT),
+           CAST(SUM(sum_value_x100) AS BIGINT)
+    FROM base GROUP BY 2, date_trunc('day', b)
+    """,
+)
+def _time_rollup_refresh(spark, sf):
+    # continuous-aggregate REFRESH: the rollup built WITHOUT a late
+    # slice (every 11th event), then refreshed by merging the late
+    # slice's delta rollup, must equal the full single-pass rollup —
+    # the oracle IS the full recompute, so the additive-merge law is
+    # what the driver verifies. Raw is rescanned only for the late
+    # slice; both merge inputs are aggregate-sized.
+    from s3_log_parser_spark.operators.aggregate import (
+        time_rollup,
+        time_rollup_merge,
+    )
+
+    ev = _t(spark, sf, "events")
+    on_time = ev.filter(F.col("event_id") % 11 != 0)
+    late = ev.filter(F.col("event_id") % 11 == 0)
+    return time_rollup_merge(time_rollup(on_time), time_rollup(late))
 
 
 @q(

@@ -555,3 +555,38 @@ def histogram_quantiles(
     return qb.select(
         *keys, "p", "bin", lo.alias("lo"), hi.alias("hi")
     )
+
+
+def time_rollup_merge(
+    existing: DataFrame,
+    delta: DataFrame,
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Late-data refresh of a persisted :func:`time_rollup` table:
+    counts and integer value sums are ADDITIVE, so folding a late
+    batch in is ``time_rollup(late)`` unioned with the existing table
+    and re-aggregated — raw is scanned only for the LATE batch, and
+    both merge inputs are aggregate-sized. Associativity makes the
+    law ``merge(rollup(a), rollup(b)) == rollup(a ∪ b)`` exact (the
+    same algebra as the HLL/CMS/histogram sketch merges), so late
+    arrivals never force a rescan of the original window.
+
+    At production scale the write side is ``MERGE INTO`` on just the
+    buckets the delta touches (the Iceberg seam — a parquet overwrite
+    rewrites the whole aggregate table, which is still tiny relative
+    to raw but not bucket-local). Inputs must share the rollup schema
+    (resolution, keys..., bucket_start, measures).
+    """
+    on = ["resolution", *keys, "bucket_start"]
+    if set(existing.columns) != set(delta.columns):
+        raise ValueError(
+            f"time_rollup_merge: schema mismatch {existing.columns} vs "
+            f"{delta.columns}"
+        )
+    measures = [c for c in existing.columns if c not in on]
+    return (
+        existing.unionByName(delta)
+        .groupBy(*on)
+        .agg(*[F.sum(c).cast("long").alias(c) for c in measures])
+        .select(*on, *measures)
+    )

@@ -189,3 +189,52 @@ def test_time_rollup_single_raw_scan(spark):
     out = time_rollup(df)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
+
+
+def test_time_rollup_merge_equals_full_recompute(spark):
+    """The continuous-aggregate refresh law: rollup(on_time) merged
+    with rollup(late) == rollup(all), exactly (additive counts +
+    integer sums)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from s3_log_parser_spark.operators.aggregate import (
+        time_rollup,
+        time_rollup_merge,
+    )
+
+    t0 = datetime.datetime(2025, 3, 1, 10, 0, 0)
+    rows = [
+        (
+            t0 + datetime.timedelta(seconds=37 * i),
+            "click" if i % 3 else "view",
+            0.5 + (i % 7),
+        )
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "ts timestamp, event_type string, value double"
+    ).withColumn("i", F.monotonically_increasing_id())
+    on_time = df.filter(F.col("i") % 5 != 0).drop("i")
+    late = df.filter(F.col("i") % 5 == 0).drop("i")
+
+    merged = time_rollup_merge(time_rollup(on_time), time_rollup(late))
+    full = time_rollup(df.drop("i"))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_time_rollup_merge_rejects_schema_mismatch(spark):
+    import pytest
+
+    from s3_log_parser_spark.operators.aggregate import time_rollup_merge
+
+    a = spark.createDataFrame(
+        [("minute", "x", "2025-01-01 00:00:00", 1)],
+        "resolution string, event_type string, bucket_start string, "
+        "n_events long",
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        time_rollup_merge(a, a.withColumnRenamed("n_events", "n"))
