@@ -2377,6 +2377,12 @@ def _tpch1(spark, sf):
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
+    # the north-star pipeline composites stay pinned INSIDE the window
+    # every round (they are the flagship rows; late-r5 registrations
+    # would otherwise overflow them past the driver's 50-row cap)
+    "pipeline_slim_status",
+    "pipeline_sink_routing",
+    "grouped_export_stats",
     # round-4 operators with no driver-recorded row yet + the rotated-out
     # r3 queries (VERDICT r4 wrong #1)
     "text_repetition",
@@ -2524,6 +2530,19 @@ _DRIVER_ROTATED_OUT = [
     # in-window pipeline_sink_routing oracle
     "j3_salted_skew_join",
     "route_fanout_counts",
+    # rotated for the late-r5 audit/histogram-quantile/rollup-refresh
+    # rows (the pipeline composites are now PINNED at the head of
+    # _DRIVER_PRIORITY instead, so overflow lands here). Each was
+    # driver-green in r04 and keeps its kernel pinned: the minhash
+    # banding join by corpus_prep_stats + incremental_dedup_stats
+    # composing the same path in-window (plus bit-exact signature
+    # pytest), the 64/16 simhash production mode by its band-
+    # cardinality + pigeonhole pytests, and IVF by the in-window
+    # knn/ann surface sharing its score-and-rank tail + the max_by
+    # assignment plan pin
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs_64",
+    "ivf_topk",
 ]
 
 
