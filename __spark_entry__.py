@@ -2430,6 +2430,8 @@ _DRIVER_PRIORITY = [
     "audit_report",
     "histogram_quantiles",
     "time_rollup_refresh",
+    "conv_stats",
+    "role_transitions",
 ]
 
 # long-stable single-op rows rotated past the 50-query window: each was
@@ -2543,6 +2545,14 @@ _DRIVER_ROTATED_OUT = [
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_pairs_64",
     "ivf_topk",
+    # rotated for the conversation-grain rows (conv_stats /
+    # role_transitions). Both r4-green: st1's first-occurrence window
+    # stays pinned by the committed golden slim + 8 ported GTest cases
+    # and runs inside the in-window pipeline composites; j1's broadcast
+    # enrich is plan-asserted in pytest (BroadcastHashJoin, no fact
+    # shuffle) and every pipeline composite exercises it
+    "st1_first_occurrence",
+    "j1_broadcast_dim_enrich",
 ]
 
 
@@ -3684,6 +3694,103 @@ def _hist_quantiles(spark, sf):
 
     h = value_histogram(_t(spark, sf, "events"), "value", keys=("event_type",))
     return histogram_quantiles(h, ps=(500, 990, 999), keys=("event_type",))
+
+
+_TURNS_FROM_EVENTS_SQL = """
+      SELECT CAST(user_id AS VARCHAR) AS conv_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) - 1 AS BIGINT)
+               AS turn_idx,
+             CASE WHEN event_type = 'view' THEN 'user'
+                  WHEN event_type = 'click' THEN 'assistant'
+                  ELSE 'system' END AS role,
+             CASE WHEN event_type IN ('view', 'click') THEN NULL
+                  ELSE event_type END AS tool,
+             ts
+      FROM events
+"""
+
+
+def _turns_from_events(spark, sf):
+    # deterministic turns view shared by the conversation queries and
+    # their oracles: user → conversation, (ts, event_id) order →
+    # turn_idx, event_type → role + optional tool
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("long").alias("turn_idx"),
+        F.when(F.col("event_type") == "view", "user")
+        .when(F.col("event_type") == "click", "assistant")
+        .otherwise("system")
+        .alias("role"),
+        F.when(
+            F.col("event_type").isin("view", "click"), F.lit(None)
+        )
+        .otherwise(F.col("event_type"))
+        .alias("tool"),
+        "ts",
+    )
+
+
+@q(
+    "conv_stats",
+    f"""
+    WITH t AS ({_TURNS_FROM_EVENTS_SQL})
+    SELECT conv_id,
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_user,
+           CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_assistant,
+           CAST(SUM(CASE WHEN role = 'system' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_system,
+           CAST(COUNT(tool) AS BIGINT) AS n_tool_calls,
+           CAST(COUNT(DISTINCT tool) AS BIGINT) AS n_tools,
+           CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000
+                AS BIGINT) AS span_sec,
+           CAST(MAX(turn_idx) AS BIGINT) AS max_turn_idx,
+           CAST(MIN(turn_idx) = 0 AND MAX(turn_idx) = COUNT(*) - 1
+                AND COUNT(DISTINCT turn_idx) = COUNT(*) AS INTEGER)
+             AS turn_idx_contiguous
+    FROM t GROUP BY conv_id
+    """,
+)
+def _conv_stats(spark, sf):
+    # per-conversation feature table — the transcript payload's native
+    # grain: ONE map-side-combined aggregate on conv_id (no windows,
+    # no joins; bucketed-by-conv_id storage makes it exchange-free).
+    # turn_idx_contiguous folds the north-star stable-ordering
+    # invariant into a queryable column
+    from s3_log_parser_spark.operators.conversations import conv_stats
+
+    return conv_stats(_turns_from_events(spark, sf))
+
+
+@q(
+    "role_transitions",
+    f"""
+    WITH t AS ({_TURNS_FROM_EVENTS_SQL}), b AS (
+      SELECT LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS from_role,
+             role AS to_role
+      FROM t
+    )
+    SELECT from_role, to_role, CAST(COUNT(*) AS BIGINT) AS n
+    FROM b WHERE from_role IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def _role_transitions(spark, sf):
+    # conversation-flow bigrams: one lag window on the conv key (the
+    # same partitioning the ST1 window uses) → bounded ≤ |roles|² count
+    from s3_log_parser_spark.operators.conversations import (
+        role_transitions,
+    )
+
+    return role_transitions(_turns_from_events(spark, sf))
 
 
 @q(

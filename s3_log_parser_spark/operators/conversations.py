@@ -1,0 +1,100 @@
+"""Conversation-level analytics over transcript turns — the payload's
+native aggregation grain (the reference aggregates S3 log lines by
+podcast/ip/day, ``/root/reference/src/s3extract.c:151-164``; the
+transcript graft's analog unit is the conversation).
+
+Both operators keep the 100 TB shape minimal:
+
+- :func:`conv_stats` is ONE map-side-combined hash aggregate keyed by
+  ``conv_id`` — no windows, no joins. On a table bucketed by
+  ``conv_id`` (the Iceberg layout SURVEY §7 names) even the one
+  exchange disappears via storage-partitioned aggregation.
+- :func:`role_transitions` needs turn order, so it pays exactly one
+  window shuffle on ``(conv_id)`` — the SAME partitioning the ST1
+  dedup window and the stable-turn-ordering invariant already use —
+  then a map-side-combined count of the (from_role, to_role) bigram
+  grid (≤ |roles|² rows out of any corpus).
+
+``turn_idx_contiguous`` folds the north-star ordering invariant into
+the feature table: a conversation whose turn indexes are not exactly
+0..n-1 was corrupted upstream (dropped or duplicated turns), and
+surfacing that per conversation makes the invariant queryable instead
+of only test-asserted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def conv_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_idx_col: str = "turn_idx",
+    role_col: str = "role",
+    tool_col: str = "tool",
+    ts_col: str = "ts",
+    roles: tuple[str, ...] = ("user", "assistant", "system"),
+) -> DataFrame:
+    """Per-conversation feature row: turn counts (total and per role),
+    tool-call counts, distinct tools, wall-clock span (whole seconds,
+    integer ``div`` — never a float quotient), and the turn-index
+    contiguity flag. One aggregate pass."""
+    idx = F.col(turn_idx_col)
+    aggs = [
+        F.count("*").cast("long").alias("n_turns"),
+        *[
+            F.sum((F.col(role_col) == r).cast("long"))
+            .cast("long")
+            .alias(f"n_{r}")
+            for r in roles
+        ],
+        F.sum(F.col(tool_col).isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_tool_calls"),
+        F.count_distinct(F.col(tool_col)).cast("long").alias("n_tools"),
+        F.expr(
+            f"(max(unix_micros(cast({ts_col} as timestamp))) - "
+            f"min(unix_micros(cast({ts_col} as timestamp)))) div 1000000"
+        )
+        .cast("long")
+        .alias("span_sec"),
+        F.max(idx).cast("long").alias("max_turn_idx"),
+        # 0..n-1 exactly ⇔ min=0, max=n-1, and all distinct. The
+        # distinct count rides the same aggregate (one Expand).
+        (
+            (F.min(idx) == 0)
+            & (F.max(idx) == F.count("*") - 1)
+            & (F.count_distinct(idx) == F.count("*"))
+        )
+        .cast("int")
+        .alias("turn_idx_contiguous"),
+    ]
+    return df.groupBy(conv_col).agg(*aggs)
+
+
+def role_transitions(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+) -> DataFrame:
+    """Corpus-wide (from_role, to_role) bigram counts in turn order —
+    the conversation-flow profile ("how often does the assistant speak
+    twice in a row?"). One lag window on the conversation key, then a
+    bounded ≤ |roles|² aggregate; the first turn of each conversation
+    has no predecessor and is excluded (count them via
+    :func:`conv_stats` if needed)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(conv_col).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    prev = F.lag(F.col(role_col)).over(w)
+    return (
+        df.select(prev.alias("from_role"), F.col(role_col).alias("to_role"))
+        .filter(F.col("from_role").isNotNull())
+        .groupBy("from_role", "to_role")
+        .agg(F.count("*").cast("long").alias("n"))
+    )

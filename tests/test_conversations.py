@@ -1,0 +1,93 @@
+"""Conversation-grain analytics: per-conv feature counts, the
+turn-index contiguity invariant, span arithmetic, and role-transition
+bigrams (first turn excluded)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from s3_log_parser_spark.operators.conversations import (
+    conv_stats,
+    role_transitions,
+)
+
+
+def _turns(spark):
+    t0 = datetime.datetime(2025, 6, 1, 12, 0, 0)
+    s = lambda sec: t0 + datetime.timedelta(seconds=sec)  # noqa: E731
+    rows = [
+        # conv a: contiguous 0..3, two tool calls, 90 s span
+        ("a", 0, "user", None, s(0)),
+        ("a", 1, "assistant", "search", s(30)),
+        ("a", 2, "assistant", "search", s(60)),
+        ("a", 3, "user", None, s(90)),
+        # conv b: gap in turn_idx (1 missing) → not contiguous
+        ("b", 0, "user", None, s(0)),
+        ("b", 2, "assistant", "edit", s(5)),
+        # conv c: duplicate turn_idx → not contiguous
+        ("c", 0, "system", None, s(0)),
+        ("c", 0, "user", None, s(1)),
+        ("c", 1, "assistant", None, s(2)),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx long, role string, tool string, "
+        "ts timestamp",
+    )
+
+
+def test_conv_stats_features(spark):
+    got = {r["conv_id"]: r.asDict() for r in conv_stats(_turns(spark)).collect()}
+    a = got["a"]
+    assert (a["n_turns"], a["n_user"], a["n_assistant"], a["n_system"]) == (
+        4, 2, 2, 0,
+    )
+    assert (a["n_tool_calls"], a["n_tools"]) == (2, 1)
+    assert a["span_sec"] == 90
+    assert (a["max_turn_idx"], a["turn_idx_contiguous"]) == (3, 1)
+    assert got["b"]["turn_idx_contiguous"] == 0  # gap
+    assert got["c"]["turn_idx_contiguous"] == 0  # duplicate idx
+    assert got["c"]["n_tool_calls"] == 0 and got["c"]["n_tools"] == 0
+
+
+def test_conv_stats_one_aggregate_no_window(spark, tmp_path):
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    path = str(tmp_path / "t")
+    _turns(spark).write.parquet(path)
+    rep = conv_stats(spark.read.parquet(path))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rep.explain("formatted")
+    plan = buf.getvalue()
+    assert len(set(re.findall(r"Scan parquet\s*\((\d+)\)", plan))) == 1
+    assert "Window" not in plan and "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_role_transitions_bigrams(spark):
+    # conv c carries a duplicate turn_idx (deliberately, for the
+    # contiguity test) which makes ITS lag order nondeterministic —
+    # bigram assertions use only the tie-free conversations a and b
+    tie_free = _turns(spark).filter(F.col("conv_id") != "c")
+    got = {
+        (r["from_role"], r["to_role"]): r["n"]
+        for r in role_transitions(tie_free).collect()
+    }
+    # conv a: u→a, a→a, a→u; conv b: u→a
+    assert got == {
+        ("user", "assistant"): 2,
+        ("assistant", "assistant"): 1,
+        ("assistant", "user"): 1,
+    }
+
+
+def test_role_transitions_single_turn_conv_excluded(spark):
+    df = spark.createDataFrame(
+        [("solo", 0, "user", None, datetime.datetime(2025, 1, 1))],
+        "conv_id string, turn_idx long, role string, tool string, "
+        "ts timestamp",
+    )
+    assert role_transitions(df).isEmpty()
