@@ -3794,6 +3794,31 @@ def _role_transitions(spark, sf):
 
 
 @q(
+    "tool_cooccurrence",
+    f"""
+    WITH t AS ({_TURNS_FROM_EVENTS_SQL}), ct AS (
+      SELECT DISTINCT conv_id, tool FROM t WHERE tool IS NOT NULL
+    )
+    SELECT a.tool AS tool_a, b.tool AS tool_b,
+           CAST(COUNT(*) AS BIGINT) AS n_convs
+    FROM ct a JOIN ct b ON a.conv_id = b.conv_id AND a.tool < b.tool
+    GROUP BY 1, 2
+    """,
+)
+def _tool_cooccurrence(spark, sf):
+    # which tools travel together: pair counts over the DISTINCT
+    # (conv, tool) table (aggregate-sized — never raw turns), one
+    # conv-keyed equi-self-join, ≤ |tools|² output. Registered past
+    # the driver's 50-row window (builder-oracle verified; rotates in
+    # next round per the documented policy)
+    from s3_log_parser_spark.operators.conversations import (
+        tool_cooccurrence,
+    )
+
+    return tool_cooccurrence(_turns_from_events(spark, sf))
+
+
+@q(
     "audit_report",
     """
     WITH b AS (

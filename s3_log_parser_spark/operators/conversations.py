@@ -74,6 +74,39 @@ def conv_stats(
     return df.groupBy(conv_col).agg(*aggs)
 
 
+def tool_cooccurrence(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Corpus-wide (tool_a, tool_b) co-occurrence counts: in how many
+    conversations were both tools called? The "which tools travel
+    together" profile that drives tool-routing and bundling decisions.
+
+    Scale shape: the pair explosion happens on the DISTINCT
+    (conv, tool) table — aggregate-sized, one row per conversation ×
+    tool used — never on raw turns, and each conversation contributes
+    ≤ |its tools|² pairs (tools are a small enumerable set, so this is
+    bounded per conv regardless of turn count). One distinct aggregate
+    + one equi-self-join on the conv key + one bounded ≤ |tools|²
+    count. ``tool_a < tool_b`` keeps each unordered pair once and
+    drops self-pairs.
+    """
+    ct = (
+        df.filter(F.col(tool_col).isNotNull())
+        .select(F.col(conv_col).alias("_c"), F.col(tool_col).alias("_t"))
+        .distinct()
+    )
+    a = ct.select(F.col("_c"), F.col("_t").alias("tool_a"))
+    b = ct.select(F.col("_c"), F.col("_t").alias("tool_b"))
+    return (
+        a.join(b, on="_c")
+        .filter(F.col("tool_a") < F.col("tool_b"))
+        .groupBy("tool_a", "tool_b")
+        .agg(F.count("*").cast("long").alias("n_convs"))
+    )
+
+
 def role_transitions(
     df: DataFrame,
     conv_col: str = "conv_id",

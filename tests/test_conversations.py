@@ -91,3 +91,27 @@ def test_role_transitions_single_turn_conv_excluded(spark):
         "ts timestamp",
     )
     assert role_transitions(df).isEmpty()
+
+
+def test_tool_cooccurrence_pairs(spark):
+    from s3_log_parser_spark.operators.conversations import (
+        tool_cooccurrence,
+    )
+
+    rows = [
+        ("a", "search"), ("a", "search"), ("a", "edit"),  # dup call
+        ("b", "search"), ("b", "edit"), ("b", "browse"),
+        ("c", "edit"),                                    # solo tool
+        ("d", None),                                      # no tools
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, tool string")
+    got = {
+        (r["tool_a"], r["tool_b"]): r["n_convs"]
+        for r in tool_cooccurrence(df).collect()
+    }
+    # repeated calls in one conv count once; pairs unordered, no self
+    assert got == {
+        ("edit", "search"): 2,
+        ("browse", "edit"): 1,
+        ("browse", "search"): 1,
+    }
