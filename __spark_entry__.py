@@ -1922,10 +1922,13 @@ def _quality_model_oracle() -> str:
       SELECT doc_id, {_toks_sql('text')} AS tk FROM documents
     )
     SELECT doc_id,
-           {BIAS_X1000} + coalesce(list_sum(
+           -- CAST: DuckDB list_sum over INTEGERs returns HUGEINT; Spark
+           -- emits BIGINT, and the driver's typed-value hash diverges on
+           -- representation even though the values are equal (r5 FAIL).
+           CAST({BIAS_X1000} + coalesce(list_sum(
              list_transform(tk,
                t -> wt[CAST({_djb2_sql('t')} % {DEFAULT_BUCKETS} AS INTEGER)
-                       + 1])), 0) AS model_score,
+                       + 1])), 0) AS BIGINT) AS model_score,
            CAST(({BIAS_X1000} + coalesce(list_sum(
              list_transform(tk,
                t -> wt[CAST({_djb2_sql('t')} % {DEFAULT_BUCKETS} AS INTEGER)
