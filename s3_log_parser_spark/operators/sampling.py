@@ -12,11 +12,14 @@ shaped for 100 TB:
   salt and its own id (never on other rows), so assignments survive
   corpus growth, re-partitioning, and incremental ingestion. No
   shuffle at all.
-- :func:`sample_to_token_budget` / :func:`pack_sequences` need a
-  deterministic order, so they run ONE window per group (pass ``by=``
-  — e.g. source — to keep the sort per-group instead of global; the
-  un-grouped form is the small-scale/verification mode, same split as
-  percentiles_disc exact vs approx).
+- :func:`sample_to_token_budget` / :func:`pack_sequences` /
+  :func:`pack_examples` need per-group running token totals in
+  deterministic id order. A naive ``Window.partitionBy(group)``
+  running sum funnels each group's ENTIRE stream through one task —
+  with a handful of sources that is a single-task fold at 100 TB — so
+  the offsets come from :func:`_running_start`, a lazy two-level
+  prefix sum (bucket-local windows + a slim bucket-offset table)
+  whose tasks stay bounded regardless of corpus size.
 """
 
 from __future__ import annotations
@@ -92,6 +95,72 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def _running_start(
+    base: DataFrame,
+    part: list[str],
+    id_col: str,
+    n_col: str = "_n",
+    bucket_ids: int = 65536,
+) -> DataFrame:
+    """add ``_start`` = the per-group running ``n_col`` total BEFORE
+    each row under deterministic id-order concatenation — the scalable
+    prefix sum behind the budget samplers and packers.
+
+    A single ``Window.partitionBy(group).orderBy(id)`` running sum is
+    correct but funnels each group's ENTIRE stream through one task
+    (with a handful of sources, a single-task fold at 100 TB — the
+    semantics never needed that). Same output, two levels instead:
+
+    1. bucket rows by ``floor(id / bucket_ids)`` — order-aligned with
+       id for numeric id columns (for non-numeric ids the bucket is a
+       constant and the scheme degenerates to the single-window form,
+       still correct);
+    2. running sum WITHIN each (group, bucket) — tasks bounded by
+       ~``bucket_ids`` rows for dense ids, whatever the corpus size;
+    3. per-(group, bucket) subtotals → a prefix window ordered by
+       bucket over that SLIM table (one task per group, but over
+       3-column subtotal rows, not the data) → broadcast the bucket
+       offsets back onto the data.
+
+    Fully lazy (no driver collect) and deterministic. At extreme
+    bucket counts (very sparse 64-bit id spaces) raise ``bucket_ids``
+    so the broadcast offset table stays small.
+    """
+    from pyspark.sql.types import NumericType
+
+    c = F.col(id_col)
+    numeric = isinstance(base.schema[id_col].dataType, NumericType)
+    bucket = (
+        F.floor(c.cast("long") / F.lit(bucket_ids))
+        if numeric
+        else F.lit(0).cast("long")
+    )
+    wl = (
+        Window.partitionBy(*part, "_bkt")
+        .orderBy(c.asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    b = base.withColumn("_bkt", bucket).withColumn(
+        "_lend", F.sum(n_col).over(wl)
+    )
+    sub = b.groupBy(*part, "_bkt").agg(F.sum(n_col).alias("_bt"))
+    wo = (
+        Window.partitionBy(*part)
+        .orderBy(F.col("_bkt").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    off = sub.withColumn("_boff", F.sum("_bt").over(wo) - F.col("_bt")).drop(
+        "_bt"
+    )
+    return (
+        b.join(F.broadcast(off), part + ["_bkt"])
+        .withColumn(
+            "_start", F.col("_boff") + F.col("_lend") - F.col(n_col)
+        )
+        .drop("_bkt", "_lend", "_boff")
+    )
+
+
 def sample_to_token_budget(
     df: DataFrame,
     budget_tokens: int,
@@ -106,23 +175,17 @@ def sample_to_token_budget(
     kept set is a stable prefix, never a random draw that reshuffles
     on re-run. The first doc of a group is always kept (a budget
     smaller than one doc still yields that doc — truncation is the
-    tokenizer's job, not the sampler's). One window per group; pass
-    ``by=`` at scale so the sort is per-group. ``count_col`` swaps in
-    any per-doc size expression (e.g. ``bpe_token_count_real`` for a
-    real-tokenizer budget); default is the whitespace token count."""
+    tokenizer's job, not the sampler's). Offsets via the two-level
+    :func:`_running_start` (no single-task fold). ``count_col`` swaps
+    in any per-doc size expression (e.g. ``bpe_token_count_real`` for
+    a real-tokenizer budget); default is the whitespace token count."""
     part = [by] if by else []
-    w = (
-        Window.partitionBy(*part)
-        .orderBy(F.col(id_col).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     cnt = token_count(text_col) if count_col is None else count_col
-    cum = F.sum(cnt).over(w)
+    base = df.withColumn("_n", cnt.cast("long"))
     return (
-        df.withColumn("_cum", cum)
-        .withColumn("_cnt", cnt)
-        .filter(F.col("_cum") - F.col("_cnt") < budget_tokens)
-        .drop("_cum", "_cnt")
+        _running_start(base, part, id_col)
+        .filter(F.col("_start") < budget_tokens)
+        .drop("_n", "_start")
     )
 
 
@@ -142,9 +205,10 @@ def sample_to_mixture(
     :func:`sample_to_token_budget`; groups absent from ``weights`` are
     dropped entirely (a mixture is a whitelist). This is the "40% web,
     30% code, …" knob every pretraining data recipe has — expressed as
-    one window per group plus a row-local map lookup, no extra shuffle
-    over the plain budget sampler. Weights need not sum to 1000 (they
-    are shares of the total, not a partition of it)."""
+    the two-level :func:`_running_start` offsets plus a row-local map
+    lookup, no extra shuffle over the plain budget sampler. Weights
+    need not sum to 1000 (they are shares of the total, not a
+    partition of it)."""
     for g, w in weights.items():
         if w < 0:
             raise ValueError(f"sample_to_mixture: negative weight for {g!r}")
@@ -155,20 +219,14 @@ def sample_to_mixture(
             for x in (g, total_budget_tokens * w // 1000)
         ]
     )
-    w = (
-        Window.partitionBy(by)
-        .orderBy(F.col(id_col).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     cnt = token_count(text_col) if count_col is None else count_col
-    cum = F.sum(cnt).over(w)
     budget = F.element_at(budget_map, F.col(by))
+    base = df.withColumn("_n", cnt.cast("long"))
     # NULL budget (group not in the mixture) fails the comparison → dropped
     return (
-        df.withColumn("_cum", cum)
-        .withColumn("_cnt", cnt)
-        .filter(F.col("_cum") - F.col("_cnt") < budget)
-        .drop("_cum", "_cnt")
+        _running_start(base, [by], id_col)
+        .filter(F.col("_start") < budget)
+        .drop("_n", "_start")
     )
 
 
@@ -247,16 +305,16 @@ def pack_sequences(
     run before materializing packed examples. ``count_col`` swaps in a
     real-tokenizer size (see sample_to_token_budget)."""
     part = [by] if by else []
-    w = (
-        Window.partitionBy(*part)
-        .orderBy(F.col(id_col).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     cnt = token_count(text_col) if count_col is None else count_col
-    cum = F.sum(cnt).over(w)
-    return df.withColumn("n_tokens", cnt.cast("long")).withColumn(
-        "pack_bin",
-        F.floor((cum - cnt) / ctx_tokens).cast("long"),
+    base = df.withColumn("n_tokens", cnt.cast("long")).withColumn(
+        "_n", F.col("n_tokens")
+    )
+    return (
+        _running_start(base, part, id_col)
+        .withColumn(
+            "pack_bin", F.floor(F.col("_start") / ctx_tokens).cast("long")
+        )
+        .drop("_n", "_start")
     )
 
 
@@ -285,8 +343,9 @@ def pack_examples(
     ``functions.bpe.bpe_token_ids(text_col)`` for real BPE ids (the
     production tokenizer; benched, golden-pinned elsewhere).
 
-    Shape at scale: one window shuffle for the per-group running
-    offsets, a map-side explode of each doc into the bins it touches
+    Shape at scale: the two-level :func:`_running_start` offsets
+    (bucket-local windows, never a whole group through one task), a
+    map-side explode of each doc into the bins it touches
     (≈ 1 + n/ctx rows, no cross product), and ONE shuffle of the id
     slices keyed by (group, bin). Token ids cross that exchange once —
     the floor for materialization, since the output IS the ids. Empty
@@ -302,14 +361,8 @@ def pack_examples(
         .withColumn("_n", F.size("_ids").cast("long"))
         .filter(F.col("_n") > 0)
     )
-    w = (
-        Window.partitionBy(*part)
-        .orderBy(F.col(id_col).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    base = (
-        base.withColumn("_start", F.sum("_n").over(w) - F.col("_n"))
-        .withColumn("_end", F.col("_start") + F.col("_n"))
+    base = _running_start(base, part, id_col).withColumn(
+        "_end", F.col("_start") + F.col("_n")
     )
     c = F.lit(ctx_tokens)
     exploded = base.withColumn(

@@ -281,3 +281,85 @@ def test_hash_split_plan_has_no_exchange(spark, corpus):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def _window_start_reference(df, part, id_col, cnt_col):
+    """the r5 single-window running-offset form, kept as the equality
+    reference for _running_start (VERDICT r5 #3)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        "_start", F.sum(cnt_col).over(w) - F.col(cnt_col)
+    )
+
+
+def test_running_start_equals_single_window(spark, corpus):
+    """the two-level prefix sum returns exactly the offsets the naive
+    per-group window produced — per-group, ungrouped, small buckets
+    (multi-bucket path), and non-numeric ids (degenerate path)."""
+    from s3_log_parser_spark.operators.sampling import _running_start
+
+    base = corpus.withColumn(
+        "_n", F.size(F.split("text", " ")).cast("long")
+    )
+    for part in (["source"], []):
+        for bucket_ids in (65536, 7):  # 7 → dozens of real buckets
+            got = {
+                tuple(r[c] for c in (part + ["doc_id"])): r["_start"]
+                for r in _running_start(
+                    base, part, "doc_id", bucket_ids=bucket_ids
+                ).collect()
+            }
+            want = {
+                tuple(r[c] for c in (part + ["doc_id"])): r["_start"]
+                for r in _window_start_reference(
+                    base, part, "doc_id", "_n"
+                ).collect()
+            }
+            assert got == want, (part, bucket_ids)
+    # non-numeric id column: constant bucket, same offsets
+    sbase = base.withColumn("sid", F.format_string("d%03d", "doc_id"))
+    got = {
+        r["sid"]: r["_start"]
+        for r in _running_start(sbase, ["source"], "sid").collect()
+    }
+    want = {
+        r["sid"]: r["_start"]
+        for r in _window_start_reference(
+            sbase, ["source"], "sid", "_n"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_running_start_plan_has_no_whole_group_window(spark, corpus):
+    """scale pin: the window over the DATA runs per (group, bucket),
+    never per group alone — no single task ever folds a whole source's
+    stream (VERDICT r5 perf item). The only per-group-partitioned
+    window in the plan is the one over the slim bucket-subtotal
+    aggregate."""
+    from s3_log_parser_spark.operators.sampling import _running_start
+
+    base = corpus.withColumn("_n", F.lit(1).cast("long"))
+    plan = (
+        _running_start(base, ["source"], "doc_id", bucket_ids=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    # the data-side window partitions by (source, _bkt)
+    assert any("source" in s and "_bkt" in s for s in specs), specs
+    # and no window in the plan partitions by source alone while
+    # ordering by doc_id (the old whole-group fold)
+    for s in specs:
+        if "doc_id" in s and "_bkt" not in s:
+            raise AssertionError(f"whole-group window survived: {s}")
