@@ -346,6 +346,17 @@ def time_rollup(
     for r in resolutions:
         if r not in _ROLLUP_UNITS:
             raise ValueError(f"time_rollup: unknown resolution {r!r}")
+    # coarse tiers derive from resolutions[0], so the tuple must run
+    # finest → coarsest (ADVICE r5: ('day','hour') would silently emit
+    # an 'hour' tier aggregated from day buckets — right labels, wrong
+    # values)
+    ranks = [_ROLLUP_UNITS.index(r) for r in resolutions]
+    if ranks != sorted(ranks) or len(set(ranks)) != len(ranks):
+        raise ValueError(
+            "time_rollup: resolutions must be unique and ordered finest "
+            f"to coarsest (subsequence of {_ROLLUP_UNITS}), got "
+            f"{resolutions}"
+        )
     kcols = [F.col(k) for k in keys]
     aggs = [F.count("*").cast("long").alias("n_events")]
     if value_col is not None:
@@ -475,13 +486,34 @@ def value_histogram(
     value_col: str = "value",
     keys: tuple[str, ...] = (),
     scale: int = 1000,
+    strict: bool = True,
 ) -> DataFrame:
     """Log2-binned distribution of a fixed-point value per key — the
     mergeable distribution sketch (histograms add, and ~31 bins cover
     any BIGINT range, so per-day histograms roll up like the HLL/CMS
     sketches). Returns (keys..., bin, n, sum_v): enough for range
-    counts, coarse quantiles, and per-bin means."""
-    v = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("long")
+    counts, coarse quantiles, and per-bin means.
+
+    Values must be NON-NEGATIVE: log2 bins are defined on magnitudes,
+    ``floor(v·scale + 0.5)`` is not symmetric rounding below zero, and
+    :func:`histogram_quantiles` reports bin 0's bounds as [0, 0] —
+    folding negatives into bin 0 would silently break that guarantee
+    (ADVICE r5). ``strict=True`` (default) enforces it row-locally
+    (raises at execution time on the first negative, no extra pass);
+    ``strict=False`` restores the fold-into-bin-0 behavior for callers
+    who treat bin 0 as "≤ 0, unbounded below". NULL values pass
+    through to a NULL bin either way."""
+    raw = F.col(value_col)
+    if strict:
+        # assert_true yields NULL when the condition holds and raises
+        # otherwise — a row-local guard with no extra scan
+        ok = F.assert_true(
+            raw.isNull() | (raw >= 0),
+            F.lit(f"value_histogram: negative {value_col}; pass "
+                  "strict=False to fold negatives into bin 0"),
+        )
+        raw = F.when(ok.isNull(), raw)
+    v = F.floor(raw * scale + F.lit(0.5)).cast("long")
     return (
         df.select(*keys, v.alias("_v"))
         .groupBy(*keys, log2_bin(F.col("_v")).alias("bin"))
@@ -504,7 +536,11 @@ def histogram_quantiles(
     of raw. The answer is exact at bin granularity: the value at rank
     ``ceil(total·p/1000)`` provably lies in [lo, hi] of the returned
     bin (factor-of-2 bounds — the log2 trade; narrower bins = a finer
-    binning function, same machinery).
+    binning function, same machinery). The guarantee requires the
+    histogram's non-negative-value precondition (enforced by
+    :func:`value_histogram` ``strict=True``): a ``strict=False``
+    histogram folds negatives into bin 0, whose reported [0, 0]
+    bounds then only mean "≤ 0".
 
     Input is sketch-sized (≤ ~31 bins per key), so the one window pass
     + per-p min-bin aggregate here costs nothing at any corpus scale —

@@ -878,10 +878,14 @@ def dup_clusters(
 
     Scale shape: one round = one equi-join (edges × labels on the id)
     + one hash aggregate (min per id) — both shuffle on uniformly
-    distributed ids; the driver loop only reads a one-row SUM(label)
-    per round. Labels are monotone non-increasing and node count is
-    fixed, so the label sum strictly decreases until fixpoint — a
-    cheap O(1)-row convergence check with no old-vs-new join. Each
+    distributed ids. Convergence detection is type-adaptive (ADVICE
+    r5: F.sum over a STRING label column yields NULL under ANSI-off,
+    so a sum-based check on string ids silently "converged" after one
+    round): numeric ids use the O(1)-row SUM(label) fixpoint test
+    (labels are monotone non-increasing and node count is fixed, so
+    the sum strictly decreases until fixpoint, no old-vs-new join);
+    non-numeric ids use an exact changed-row check (new vs old labels
+    joined on id, one row per NODE — not per edge — per round). Each
     round ``localCheckpoint``s the label frame, keeping the plan O(1)
     deep instead of growing per iteration. From round 4 onward each
     round adds a POINTER-DOUBLING shortcut — every label is remapped
@@ -908,7 +912,13 @@ def dup_clusters(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    from pyspark.sql.types import NumericType
+
+    numeric = isinstance(labels.schema["label"].dataType, NumericType)
+    prev = labels
+    prev_sum = (
+        labels.agg(F.sum("label")).collect()[0][0] if numeric else None
+    )
     for i in range(max_iter):
         nbr = edges.withColumnRenamed("src", "id").join(labels, "id").select(
             F.col("dst").alias("id"), "label"
@@ -933,11 +943,22 @@ def dup_clusters(
                 F.coalesce(F.col("_llab"), F.col("label")).alias("label"),
             )
         labels = stepped.localCheckpoint()
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
+        if numeric:
+            cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+            converged = cur_sum == prev_sum
+            prev_sum = cur_sum
+        else:
+            converged = (
+                labels.join(
+                    prev.withColumnRenamed("label", "_old"), "id"
+                )
+                .filter(F.col("label") != F.col("_old"))
+                .isEmpty()
+            )
+        prev = labels
+        if converged:
             edges.unpersist()
             return labels.select("id", F.col("label").alias("cluster_id"))
-        prev_sum = cur_sum
     edges.unpersist()
     raise RuntimeError(
         f"dup_clusters: no fixpoint after {max_iter} label-propagation "

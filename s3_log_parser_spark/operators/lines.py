@@ -96,9 +96,18 @@ def line_frequencies(
     corpus snapshot and feed it back via ``freq=`` to amortize across
     runs — same seam as ``DedupIndex`` for document-level dedup."""
     ex = _exploded_lines(df, id_col, text_col, delim)
+    # pin the key family on the frame itself: column metadata survives
+    # parquet round-trips, and line_dedup refuses a freq= whose pin
+    # disagrees with the call (ADVICE r5: a freq table built under a
+    # different hash family produces non-matching keys and silently
+    # drops nothing; DedupIndex pins n/k/mode the same way)
+    meta = {"key_mode": key_mode, "delim": delim, "min_chars": min_chars}
     return (
         ex.filter(F.length("line") >= min_chars)
-        .select(_line_key(key_mode).alias("line_key"), F.col(id_col))
+        .select(
+            _line_key(key_mode).alias("line_key", metadata=meta),
+            F.col(id_col),
+        )
         .groupBy("line_key")
         .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
     )
@@ -135,6 +144,26 @@ def line_dedup(
     ex = _exploded_lines(df, id_col, text_col, delim, carry_cols)
     if freq is None:
         freq = line_frequencies(df, id_col, text_col, delim, min_chars, key_mode)
+    else:
+        # a supplied frequency table must have been built under the
+        # SAME key family/split rules: verify the pin that
+        # line_frequencies stamps into line_key's column metadata
+        # (present even after a parquet round-trip). Unpinned tables
+        # (built by hand) are accepted as-is — the pin is the seam's
+        # contract, not a paranoia scan.
+        pin = dict(freq.schema["line_key"].metadata or {})
+        want = {"key_mode": key_mode, "delim": delim, "min_chars": min_chars}
+        stale = {
+            k: (pin[k], want[k])
+            for k in want
+            if k in pin and pin[k] != want[k]
+        }
+        if stale:
+            raise ValueError(
+                "line_dedup: freq= was built under different parameters "
+                f"than this call (pinned vs requested): {stale} — keys "
+                "would not match and nothing would be dropped"
+            )
     drop_keys = freq.filter(F.col("n_docs") > max_docs).select(
         "line_key", F.lit(True).alias("_drop")
     )

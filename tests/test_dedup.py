@@ -923,3 +923,19 @@ def test_append_to_dedup_index_with_persisted_survivors(spark, tmp_path):
         r["id"] for r in spark.read.parquet(f"{idx}/shingles").collect()
     }
     assert shing_ids == {0, 7}
+
+
+def test_dup_clusters_string_ids_full_closure(spark):
+    """ADVICE r5: with string doc ids, F.sum over the label column is
+    NULL under ANSI-off, so the old sum-based convergence check read
+    None == None after one propagation round and returned a PARTIAL
+    closure. A 6-long chain needs >1 round — every node must still
+    land on the lexicographic-min label."""
+    from s3_log_parser_spark.operators.dedup import dup_clusters
+
+    ids = [f"doc{i:02d}" for i in range(6)]
+    chain = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(5)], "id_a string, id_b string"
+    )
+    got = {r["id"]: r["cluster_id"] for r in dup_clusters(chain).collect()}
+    assert got == {i: "doc00" for i in ids}

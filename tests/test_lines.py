@@ -156,3 +156,29 @@ def test_line_dedup_carry_cols(spark):
     assert out[0]["text"] == "mine zero"
     assert out[0]["lang"] == "en" and out[0]["source"] == "web"
     assert out[1]["lang"] == "de" and out[1]["source"] == "code"
+
+
+def test_line_dedup_freq_pin_mismatch_raises(spark, docs, tmp_path):
+    """ADVICE r5: a freq= table built under a different key family
+    silently drops nothing. line_frequencies pins its parameters as
+    column metadata (surviving a parquet round-trip); line_dedup
+    refuses a mismatched table."""
+    import pytest as _pytest
+
+    p = str(tmp_path / "freq")
+    line_frequencies(docs, key_mode="djb2").write.parquet(p)
+    back = spark.read.parquet(p)
+    pin = dict(back.schema["line_key"].metadata)
+    assert pin["key_mode"] == "djb2" and pin["delim"] == "\n"
+    with _pytest.raises(ValueError, match="different parameters"):
+        line_dedup(docs, key_mode="xxhash64", freq=back)
+    # matching family passes and equals the inline result
+    seam = sorted(
+        line_dedup(docs, key_mode="djb2", freq=back).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    inline = sorted(
+        line_dedup(docs, key_mode="djb2").collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert seam == inline

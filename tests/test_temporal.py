@@ -238,3 +238,20 @@ def test_time_rollup_merge_rejects_schema_mismatch(spark):
     )
     with pytest.raises(ValueError, match="schema mismatch"):
         time_rollup_merge(a, a.withColumnRenamed("n_events", "n"))
+
+
+def test_time_rollup_rejects_misordered_resolutions(spark):
+    """ADVICE r5: coarse tiers derive from resolutions[0]; a
+    ('day','hour') call would emit an 'hour' tier aggregated from day
+    buckets — right labels, wrong values. Must raise."""
+    import pytest as _pytest
+
+    from s3_log_parser_spark.operators.aggregate import time_rollup
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 1.0)], "event_type string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    with _pytest.raises(ValueError, match="finest"):
+        time_rollup(df, resolutions=("day", "hour"))
+    with _pytest.raises(ValueError, match="finest"):
+        time_rollup(df, resolutions=("hour", "hour", "day"))
