@@ -2147,10 +2147,32 @@ def _sessions(spark, sf):
     return session_stats(_t(spark, sf, "events"), gap_seconds=1800)
 
 
-@q(
-    "corpus_prep_stats",
-    f"""
-    WITH dedup AS (
+def _corpus_prep_oracle(model: bool = False) -> str:
+    """the corpus-prep composition oracle; ``model=True`` adds the
+    distilled hashed-linear quality model as a further filter in the
+    ``clean`` stage (same inlined weight-literal technique as
+    ``_quality_model_oracle`` — the oracle pins the committed trained
+    artifact, not a formula stand-in)."""
+    w_cte = ""
+    w_from = ""
+    model_cond = ""
+    if model:
+        from s3_log_parser_spark.functions.classify import DEFAULT_BUCKETS
+        from s3_log_parser_spark.functions.quality_weights import (
+            BIAS_X1000,
+            WEIGHTS_X1000,
+        )
+
+        wlit = "[" + ", ".join(str(v) for v in WEIGHTS_X1000) + "]"
+        w_cte = f"w AS (SELECT {wlit} AS wt), "
+        w_from = ", w"
+        model_cond = f"""
+        AND {BIAS_X1000} + coalesce(list_sum(
+              list_transform(s.tk,
+                t -> wt[CAST({_djb2_sql('t')} % {DEFAULT_BUCKETS} AS INTEGER)
+                        + 1])), 0) >= 0"""
+    return f"""
+    WITH {w_cte}dedup AS (
       SELECT doc_id, source, text FROM (
         SELECT doc_id, source, text,
                ROW_NUMBER() OVER (
@@ -2192,19 +2214,21 @@ def _sessions(spark, sf):
       WHERE FLOOR(len(list_intersect(a.hs, b.hs)) * 1000.0
                   / len(list_distinct(a.hs || b.hs))) >= 500
     ), clean AS (
-      SELECT s.* FROM shc s
+      SELECT s.* FROM shc s{w_from}
       WHERE s.doc_id NOT IN (SELECT doc_id FROM dropped)
         AND len(s.tk) >= 20
         AND FLOOR(len(list_distinct(s.tk)) * 1000.0
-                  / greatest(len(s.tk), 1)) >= 330
+                  / greatest(len(s.tk), 1)) >= 330{model_cond}
     )
     SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(len(tk)) AS BIGINT) AS sum_tokens,
            CAST(SUM(len(regexp_extract_all(text,
                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS sum_bpe
     FROM clean GROUP BY source
-    """,
-)
+    """
+
+
+@q("corpus_prep_stats", _corpus_prep_oracle())
 def _corpus_prep(spark, sf):
     # the training-data pipeline composed end-to-end (exact dedup →
     # LSH near-dup removal → quality filter → per-source token budget);
@@ -2212,6 +2236,18 @@ def _corpus_prep(spark, sf):
     from s3_log_parser_spark.operators.corpus import corpus_prep
 
     return corpus_prep(_t(spark, sf, "documents")).stats
+
+
+@q("corpus_prep_model_stats", _corpus_prep_oracle(model=True))
+def _corpus_prep_model(spark, sf):
+    # the same composition with the distilled model filter engaged
+    # (VERDICT r5 next #5): heuristic gate AND hashed-linear model
+    # label, still one lazy DAG, zero extra shuffles — the model is a
+    # plan-literal weight array riding the quality stage. CLI:
+    # `job.py prep --model-filter`.
+    from s3_log_parser_spark.operators.corpus import corpus_prep
+
+    return corpus_prep(_t(spark, sf, "documents"), model_filter=True).stats
 
 
 @q(
@@ -2393,7 +2429,8 @@ _DRIVER_PRIORITY = [
     "quality_model_scores",
     # registered past the 50-row window in r5; never driver-recorded
     "tool_cooccurrence",
-    # --- r6 additions (new operators this round) are inserted here ---
+    # --- r6 additions (new operators this round) ---
+    "corpus_prep_model_stats",
     # the r4-green cohort, rotated back IN: their last driver-recorded
     # row is two rounds old (every one was also re-verified by the full
     # oracle sweep each round since)

@@ -92,3 +92,34 @@ def test_grouped_export_reserved_column_collision(spark):
     df = spark.range(10).withColumn("__s3lp_rn__", F.lit(1))
     with pytest.raises(ValueError, match="reserved working column"):
         grouped_export(df, "id", max_rows_per_group=2)
+
+
+def test_prep_cli_model_filter(spark, tmp_path):
+    """`prep --model-filter` engages the distilled quality model from
+    the CLI (VERDICT r5 next #5): the model-filtered clean corpus is
+    exactly the unfiltered one minus docs the model labels low-quality."""
+    docs_path = "/root/testdata/sf0.001/documents.parquet"
+    base_out = str(tmp_path / "base")
+    model_out = str(tmp_path / "model")
+    main(["--cores", "4", "prep", "-f", docs_path, "-o", base_out])
+    main(["--cores", "4", "prep", "-f", docs_path, "-o", model_out,
+          "--model-filter"])
+    base = spark.read.parquet(f"{base_out}/clean")
+    filt = spark.read.parquet(f"{model_out}/clean")
+    base_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+    filt_ids = {r["doc_id"] for r in filt.select("doc_id").collect()}
+    assert filt_ids <= base_ids
+    # the filtered-out set is exactly the model-negative slice
+    from s3_log_parser_spark.functions.classify import quality_model_label
+
+    labels = {
+        r["doc_id"]: r["keep"]
+        for r in base.select(
+            "doc_id", quality_model_label("text").alias("keep")
+        ).collect()
+    }
+    assert filt_ids == {i for i in base_ids if labels[i]}
+    assert len(filt_ids) < len(base_ids)  # the model actually cuts
+    # stats table reflects the filtered corpus
+    stats = spark.read.parquet(f"{model_out}/stats")
+    assert stats.agg(F.sum("n_docs")).collect()[0][0] == len(filt_ids)
