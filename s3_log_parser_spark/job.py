@@ -13,6 +13,9 @@ Subcommands:
   run      — full parse → enrich → route → aggregate DAG with
              manifest resume (the production pipeline)
   prep     — documents → dedup/decontam/quality corpus + budgets
+  ingest   — streaming daily loop: new document files → audit gate →
+             index dedup → accepted parquet + index append (+ optional
+             HLL/CMS sketch maintenance over the accepted batch keys)
   compact  — small-file maintenance pass over a parquet sink
 """
 
@@ -240,6 +243,106 @@ def cmd_prep(args) -> None:
         df.unpersist()
 
 
+def cmd_ingest(args) -> None:
+    """the daily ingestion loop as ONE command (VERDICT r5 next #6 —
+    gen/parse/prep/compact existed but a user couldn't run the
+    streaming index-append loop without writing code): documents
+    arriving as parquet files under --input stream through the audit
+    gate → intra-batch exact dedup → incremental dedup against the
+    persisted DedupIndex → accepted parquet partitioned by batch +
+    crash-safe index append. Re-running as new files land continues
+    from the stream checkpoint — already-ingested files are never
+    re-processed, which is the whole loop."""
+    import os
+
+    spark = _spark(args)
+    # file streams need an explicit schema: take it from the files
+    # already present (the CLI is invoked once data exists)
+    static = spark.read.parquet(args.input)
+
+    if not os.path.exists(os.path.join(args.index, "meta")):
+        # first run: bootstrap an EMPTY persisted index so the meta
+        # table pins the hash family for every later batch
+        from .operators.dedup import build_dedup_index, write_dedup_index
+
+        empty = spark.createDataFrame([], static.schema)
+        write_dedup_index(
+            build_dedup_index(
+                empty,
+                mode=args.hash_mode,
+                bloom_m_bits=args.bloom_bits,
+            ),
+            args.index,
+        )
+        print(f"bootstrapped empty dedup index at {args.index} "
+              f"(mode={args.hash_mode})")
+
+    checks = None
+    if args.audit:
+        from .operators.audit import not_null
+
+        checks = [not_null("doc_id", "text")]
+
+    from .streaming.ingest import start_ingest
+
+    q = start_ingest(
+        spark.readStream.schema(static.schema).parquet(args.input),
+        index_path=args.index,
+        out_dir=args.output,
+        checkpoint_dir=f"{args.output}/_checkpoint/ingest",
+        near=not args.exact_only,
+        threshold_x1000=args.near_threshold,
+        trigger_once=True,
+        checks=checks,
+        on_audit_fail=args.on_audit_fail,
+    )
+    q.awaitTermination()
+
+    if args.sketches:
+        # few-KB persisted sketch tables over the ACCEPTED corpus:
+        # distinct-doc HLL + per-source CMS heavy hitters. Separate
+        # checkpoints, same drain-available trigger; both replay-safe
+        # (max-merge idempotent / fingerprint-gated sum-merge).
+        from pyspark.sql import functions as F
+
+        from .streaming.sketches import start_cms_stream, start_hll_stream
+
+        acc_dir = f"{args.output}/accepted"
+        acc_schema = spark.read.parquet(acc_dir).schema
+        accepted = spark.readStream.schema(acc_schema).parquet(acc_dir)
+        keys = accepted.select(
+            F.col("doc_id").cast("string").alias("k"),
+            F.col("source").alias("s") if "source" in acc_schema.names
+            else F.lit("all").alias("s"),
+        )
+        sk_root = f"{args.output}/sketches"
+        start_hll_stream(
+            keys, f"{sk_root}/hll_docs", f"{args.output}/_checkpoint/hll",
+            key_col="k", mode=args.hash_mode,
+        ).awaitTermination()
+        start_cms_stream(
+            keys, f"{sk_root}/cms_sources", f"{args.output}/_checkpoint/cms",
+            key_col="s", mode=args.hash_mode,
+        ).awaitTermination()
+
+        from .operators.sketch import hll_estimate
+
+        from .streaming.sketches import read_hll_table
+
+        est = hll_estimate(
+            read_hll_table(spark, f"{sk_root}/hll_docs")
+        ).collect()[0][0]
+        print(f"sketches: ~{est} distinct accepted docs "
+              f"(hll_docs, cms_sources under {sk_root})")
+
+    acc = spark.read.parquet(f"{args.output}/accepted")
+    per_batch = acc.groupBy("_batch").count().orderBy("_batch").collect()
+    for r in per_batch:
+        print(f"batch {r['_batch']}: {r['count']} docs accepted")
+    print(f"total accepted: {sum(r['count'] for r in per_batch)} docs "
+          f"across {len(per_batch)} batches")
+
+
 def cmd_compact(args) -> None:
     from .sources.maintenance import compact_table
 
@@ -340,6 +443,39 @@ def main(argv: list[str] | None = None) -> None:
     pr.add_argument("--pack-ids", choices=["bpe", "djb2"], default="bpe",
                     help="token ids for packing (bpe = real tokenizer)")
 
+    ing = sub.add_parser(
+        "ingest",
+        help="streaming daily loop: new document files -> audit gate "
+        "-> dedup against a persisted index -> accepted parquet + "
+        "index append (+ optional sketch maintenance)",
+    )
+    ing.add_argument("-f", "--input", required=True,
+                     help="directory where document parquet files land")
+    ing.add_argument("-o", "--output", required=True,
+                     help="out dir: accepted/, audit/, _checkpoint/, "
+                     "sketches/")
+    ing.add_argument("--index", required=True,
+                     help="persisted DedupIndex dir (bootstrapped "
+                     "empty on first run)")
+    ing.add_argument("--near-threshold", type=int, default=500)
+    ing.add_argument("--exact-only", action="store_true",
+                     help="skip near-dup (digest-only) index dedup")
+    ing.add_argument("--audit", action="store_true",
+                     help="gate each batch on not_null(doc_id, text); "
+                     "report under output/audit")
+    ing.add_argument("--on-audit-fail", choices=["raise", "skip"],
+                     default="raise")
+    ing.add_argument("--sketches", action="store_true",
+                     help="also maintain the HLL distinct-docs and "
+                     "CMS source-frequency sketch tables")
+    ing.add_argument("--hash-mode", choices=["djb2", "xxhash64"],
+                     default="xxhash64",
+                     help="index hash family (pinned in meta on first "
+                     "run; later runs must match)")
+    ing.add_argument("--bloom-bits", type=int, default=0,
+                     help="Bloom sidecar size in bits (0 = none); "
+                     "~10x expected distinct docs for ~1%% FP")
+
     co = sub.add_parser(
         "compact",
         help="rewrite small-file partitions of a parquet sink in place "
@@ -351,7 +487,8 @@ def main(argv: list[str] | None = None) -> None:
 
     args = p.parse_args(argv)
     {"gen": cmd_gen, "parse": cmd_parse, "extract": cmd_extract,
-     "run": cmd_run, "prep": cmd_prep, "compact": cmd_compact}[args.cmd](args)
+     "run": cmd_run, "prep": cmd_prep, "ingest": cmd_ingest,
+     "compact": cmd_compact}[args.cmd](args)
 
 
 if __name__ == "__main__":
