@@ -1197,6 +1197,47 @@ def _ivfk(spark, sf):
     )
 
 
+@q(
+    "semantic_dedup_flags",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cent_id, embedding AS cent_vec
+      FROM embeddings
+      ORDER BY {_IVF_CENT_RANK_SQL}, vec_id
+      LIMIT 8
+    ), cassign AS (
+      SELECT vec_id AS c_id, embedding AS c_vec, cent_id AS cell FROM (
+        SELECT e.vec_id, e.embedding, cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos_x1m_sql('e.embedding', 'cent_vec')} DESC,
+                          cent_id ASC) AS r
+        FROM embeddings e CROSS JOIN cent)
+      WHERE r = 1
+    ), dropped AS (
+      SELECT DISTINCT b.c_id FROM cassign a JOIN cassign b
+        ON a.cell = b.cell AND a.c_id < b.c_id
+      WHERE {_cos_x1m_sql('a.c_vec', 'b.c_vec')} >= 300000
+    )
+    SELECT c_id AS vec_id, cell,
+           c_id NOT IN (SELECT c_id FROM dropped) AS kept
+    FROM cassign
+    """,
+)
+def _semdedup(spark, sf):
+    # SemDeDup (arXiv:2303.09540) re-expressed Spark-first: the
+    # deterministic IVF cell assignment bounds the pair comparison to
+    # within-cell self-joins (O(Σ cell²), never all-pairs), integer
+    # cosine verify, pair drop rule. threshold tuned to the synthetic
+    # embedding spread (within-cell cosines top out ~0.51); the
+    # production default is 0.95-ish on real embeddings.
+    from s3_log_parser_spark.operators.dedup import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf, "embeddings"), threshold_x1m=300_000, n_cells=8
+    )
+
+
 # --- text analysis ----------------------------------------------------------
 
 
@@ -2431,6 +2472,7 @@ _DRIVER_PRIORITY = [
     "tool_cooccurrence",
     # --- r6 additions (new operators this round) ---
     "corpus_prep_model_stats",
+    "semantic_dedup_flags",
     # the r4-green cohort, rotated back IN: their last driver-recorded
     # row is two rounds old (every one was also re-verified by the full
     # oracle sweep each round since)

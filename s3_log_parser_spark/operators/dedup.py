@@ -857,6 +857,92 @@ def embedding_near_dups_bucketed(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold_x1m: int = 950_000,
+    n_cells: int = 8,
+    policy: str = "pairs",
+) -> DataFrame:
+    """SemDeDup-style embedding-space dedup (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus, compare pairs ONLY within a
+    cluster, drop every doc too cosine-close to a lower-id cluster-mate.
+    Complements the LSH-bucketed near-dup path: SemDeDup's clusters
+    capture SEMANTIC duplicates (same content, different wording) that
+    sign-hash buckets — tuned for near-identical vectors — miss.
+
+    Returns ``(id_col, cell, kept)`` for every input row: ``cell`` is
+    the assigned cluster, ``kept`` False for dropped semantic dups.
+
+    Mechanics: deterministic centroids + max-by cell assignment
+    (``similarity.ivf_centroids`` / ``ivf_assign`` — no kmeans
+    dependency, cross-engine exact), a cell-keyed self-join with
+    integer-scaled cosine verify at ``threshold_x1m``, then the drop
+    rule: ``"pairs"`` drops the higher id of each qualifying pair,
+    ``"clusters"`` closes the pair graph transitively
+    (:func:`dup_clusters`) and keeps each component's lowest id.
+
+    Scale shape: the corpus never broadcasts and never all-pairs —
+    cost is O(Σ cell²), so ``n_cells`` must grow with the corpus
+    (SemDeDup runs ~100k clusters at billions of docs; cells are
+    hash-uniform across the id space, so the self-join shuffle is
+    skew-free). Assignment is one broadcast crossJoin + one map-side
+    max_by aggregate (no window over the corpus)."""
+    from .similarity import ivf_assign, ivf_centroids
+
+    if policy not in ("pairs", "clusters"):
+        raise ValueError(f"semantic_dedup: unknown policy {policy!r}")
+    cent = ivf_centroids(corpus, id_col, vec_col, n_cells)
+    assigned = ivf_assign(
+        corpus.select(F.col(id_col), F.col(vec_col)), cent, id_col, vec_col
+    )
+    nrm = f"{id_col}_nrm"
+    a = assigned.select(
+        "cell",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col(nrm).alias("_na"),
+    )
+    b = assigned.select(
+        "cell",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col(nrm).alias("_nb"),
+    )
+    from ..functions.vectors import cos_x1m_pairs
+
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine_x1m",
+            cos_x1m_pairs(
+                F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+            ),
+        )
+        .filter(F.col("cosine_x1m") >= threshold_x1m)
+        .select("id_a", "id_b")
+    )
+    if policy == "clusters":
+        drop = (
+            dup_clusters(pairs)
+            .filter(F.col("id") != F.col("cluster_id"))
+            .select(F.col("id").alias(id_col))
+        )
+    else:
+        drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return (
+        assigned.select(id_col, "cell")
+        .join(drop.withColumn("_d", F.lit(True)), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.col("_d").isNull().alias("kept"),
+        )
+    )
+
+
 def dup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",

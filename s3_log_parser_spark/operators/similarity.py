@@ -163,29 +163,26 @@ def ann_lsh_bucketed(
     )
 
 
-def ivf_topk(
+def ivf_centroids(
     corpus: DataFrame,
-    queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 5,
     n_cells: int = 8,
-    nprobe: int = 2,
 ) -> DataFrame:
-    """IVF-flat ANN: centroids = a deterministic pseudo-random corpus
-    sample (the ``n_cells`` smallest Knuth multiplicative hashes of the
-    id — uniform across the id space, reproducible in any engine, no
-    kmeans dependency), rows assigned to their max-cosine centroid,
-    queries probe the ``nprobe`` nearest cells. At scale the top-N pick
-    is a TakeOrderedAndProject over (hash, id, vec) — one scan, no
-    shuffle of the corpus."""
+    """deterministic pseudo-random centroid pick: the ``n_cells``
+    smallest Knuth multiplicative hashes of the id — uniform across the
+    id space, reproducible in any engine, no kmeans dependency. At
+    scale the pick is a TakeOrderedAndProject over (hash, id, vec) —
+    one scan, no shuffle of the corpus. Returns
+    ``(cent_id, cent_vec, cent_nrm)``. Shared by :func:`ivf_topk` and
+    ``dedup.semantic_dedup``."""
     # (id mod 2^31) * K mod 2^32: stays inside signed-64 range even for
     # huge ids (ANSI mode would error on a real overflow)
     cent_rank = F.pmod(
         F.pmod(F.col(id_col).cast("long"), F.lit(1 << 31)) * F.lit(2654435761),
         F.lit(1 << 32),
     )
-    cent = _with_norm(
+    return _with_norm(
         corpus.select(
             F.col(id_col).alias("cent_id"),
             F.col(vec_col).alias("cent_vec"),
@@ -197,56 +194,95 @@ def ivf_topk(
         "cent_vec", "cent_nrm",
     )
 
-    def assign(df: DataFrame, idc: str, vecc: str, nbest: int, out: str) -> DataFrame:
-        pre = _with_norm(df, vecc, "_nrm")
-        scored = pre.crossJoin(F.broadcast(cent)).select(
-            F.col(idc),
-            F.col(vecc),
-            F.col("_nrm"),
-            F.col("cent_id"),
-            _cos_x1m(
-                F.col(vecc), F.col("cent_vec"), F.col("_nrm"), F.col("cent_nrm")
-            ).alias("s"),
-        )
-        if nbest == 1:
-            # the CORPUS side: a row_number window would shuffle AND
-            # sort all N×n_cells scored rows; max_by is one hash
-            # aggregate with map-side partial reduction (the crossJoin
-            # keeps each id's n_cells rows in one partition, so the
-            # shuffle moves ~N pre-reduced rows). Tie-break matches the
-            # window's (s DESC, cent_id ASC): max of (s, -cent_id).
-            picked = scored.groupBy(idc).agg(
-                F.max_by(
-                    F.struct(F.col(vecc).alias("v"), F.col("_nrm").alias("n"),
-                             F.col("cent_id").alias("c")),
-                    F.struct(F.col("s"), (-F.col("cent_id")).alias("nc")),
-                ).alias("_best")
-            )
-            return picked.select(
-                F.col(idc),
-                F.col("_best.v").alias(vecc),
-                F.col("_best.n").alias(f"{idc}_nrm"),
-                F.col("_best.c").alias(out),
-            )
-        w = Window.partitionBy(idc).orderBy(F.col("s").desc(), F.col("cent_id"))
-        return (
-            scored.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") <= nbest)
-            .select(
-                F.col(idc),
-                F.col(vecc),
-                F.col("_nrm").alias(f"{idc}_nrm"),
-                F.col("cent_id").alias(out),
-            )
-        )
 
-    c = assign(
-        corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")),
-        "c_id", "c_vec", 1, "cell",
+def _ivf_scored(df: DataFrame, cent: DataFrame, idc: str, vecc: str):
+    pre = _with_norm(df, vecc, "_nrm")
+    return pre.crossJoin(F.broadcast(cent)).select(
+        F.col(idc),
+        F.col(vecc),
+        F.col("_nrm"),
+        F.col("cent_id"),
+        _cos_x1m(
+            F.col(vecc), F.col("cent_vec"), F.col("_nrm"), F.col("cent_nrm")
+        ).alias("s"),
     )
-    q = assign(
+
+
+def ivf_assign(
+    df: DataFrame,
+    cent: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "cell",
+) -> DataFrame:
+    """max-cosine cell assignment of every row against a broadcast
+    centroid frame. A row_number window would shuffle AND sort all
+    N×n_cells scored rows; max_by is one hash aggregate with map-side
+    partial reduction (the crossJoin keeps each id's n_cells rows in
+    one partition, so the shuffle moves ~N pre-reduced rows).
+    Tie-break matches the window's (s DESC, cent_id ASC): max of
+    (s, -cent_id). Returns (id, vec, {id}_nrm, cell) — shared by
+    :func:`ivf_topk` (corpus side) and ``dedup.semantic_dedup``."""
+    scored = _ivf_scored(df, cent, id_col, vec_col)
+    picked = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.struct(F.col(vec_col).alias("v"), F.col("_nrm").alias("n"),
+                     F.col("cent_id").alias("c")),
+            F.struct(F.col("s"), (-F.col("cent_id")).alias("nc")),
+        ).alias("_best")
+    )
+    return picked.select(
+        F.col(id_col),
+        F.col("_best.v").alias(vec_col),
+        F.col("_best.n").alias(f"{id_col}_nrm"),
+        F.col("_best.c").alias(out),
+    )
+
+
+def _ivf_probe(
+    df: DataFrame,
+    cent: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nprobe: int,
+    out: str = "cell",
+) -> DataFrame:
+    """the QUERY side: each row probes its ``nprobe`` nearest cells
+    (row_number window — queries are the small side)."""
+    scored = _ivf_scored(df, cent, id_col, vec_col)
+    w = Window.partitionBy(id_col).orderBy(F.col("s").desc(), F.col("cent_id"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= nprobe)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("_nrm").alias(f"{id_col}_nrm"),
+            F.col("cent_id").alias(out),
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-flat ANN: deterministic centroids (:func:`ivf_centroids`),
+    rows assigned to their max-cosine centroid (:func:`ivf_assign`),
+    queries probe the ``nprobe`` nearest cells."""
+    cent = ivf_centroids(corpus, id_col, vec_col, n_cells)
+    c = ivf_assign(
+        corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")),
+        cent, "c_id", "c_vec",
+    )
+    q = _ivf_probe(
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
-        "q_id", "q_vec", nprobe, "cell",
+        cent, "q_id", "q_vec", nprobe,
     )
     scored = (
         c.join(F.broadcast(q), "cell")

@@ -939,3 +939,47 @@ def test_dup_clusters_string_ids_full_closure(spark):
     )
     got = {r["id"]: r["cluster_id"] for r in dup_clusters(chain).collect()}
     assert got == {i: "doc00" for i in ids}
+
+
+def test_semantic_dedup_drops_near_identical_and_policies(spark):
+    """SemDeDup shape: identical-direction vectors in the same cell are
+    dropped (lowest id survives); the pairs vs clusters drop rules
+    differ exactly on hub-shaped graphs (0~2, 1~2, 0!~1)."""
+    from s3_log_parser_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.707, 0.707]),  # close to BOTH 0 and 1; 0 and 1 are far
+        (3, [2.0, 0.0]),      # same direction as 0 -> cosine 1.0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # default threshold (0.95): only the exact-direction dup drops
+    strict = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(emb, n_cells=1).collect()
+    }
+    assert strict == {0: True, 1: True, 2: True, 3: False}
+
+    # hub graph at tau = 0.7: pairs drops only the higher id of each
+    # qualifying pair (2, and 3 via 0); clusters closes 0-2-1 into one
+    # component and keeps just its minimum
+    loose_pairs = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(
+            emb, threshold_x1m=700_000, n_cells=1
+        ).collect()
+    }
+    assert loose_pairs == {0: True, 1: True, 2: False, 3: False}
+    loose_clusters = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(
+            emb, threshold_x1m=700_000, n_cells=1, policy="clusters"
+        ).collect()
+    }
+    assert loose_clusters == {0: True, 1: False, 2: False, 3: False}
+
+    # every row comes back exactly once with a cell assignment
+    out = semantic_dedup(emb, n_cells=1)
+    assert out.count() == 4 and out.select("cell").distinct().count() == 1
