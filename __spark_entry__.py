@@ -2473,6 +2473,8 @@ _DRIVER_PRIORITY = [
     # --- r6 additions (new operators this round) ---
     "corpus_prep_model_stats",
     "semantic_dedup_flags",
+    "stratified_sample_ids",
+    "chunk_documents_rows",
     # the r4-green cohort, rotated back IN: their last driver-recorded
     # row is two rounds old (every one was also re-verified by the full
     # oracle sweep each round since)
@@ -3054,6 +3056,70 @@ def _shuffle_prefix(spark, sf):
         keyed.withColumn("pos", F.row_number().over(w).cast("long"))
         .filter(F.col("pos") <= 32)
         .select("pos", "doc_id", "sk")
+    )
+
+
+@q(
+    "stratified_sample_ids",
+    f"""
+    WITH b AS (
+      SELECT doc_id, source,
+             (({_djb2_sql("'r6:' || CAST(doc_id AS VARCHAR)")}
+               * 2654435 + 7) % 4294967311) % 2147483647 AS m
+      FROM documents
+    ), k AS (
+      SELECT doc_id, source, (m * m) % 2147483647 AS sk FROM b
+    )
+    SELECT source,
+           CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY sk, doc_id)
+                AS BIGINT) AS sample_rank,
+           doc_id
+    FROM k QUALIFY sample_rank <= 5
+    """,
+)
+def _strat_sample(spark, sf):
+    # deterministic stratified sampling: each group's 5 smallest seeded
+    # shuffle keys. Catalyst rewrites the rank filter to a
+    # WindowGroupLimit (map tasks keep local top-5 per group before the
+    # exchange — plan-pinned in tests), so the shuffle never carries
+    # the corpus.
+    from s3_log_parser_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf, "documents"), n_per_group=5, seed="r6"
+    ).select("source", "sample_rank", "doc_id")
+
+
+@q(
+    "chunk_documents_rows",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_toks_sql('text')} AS tk FROM documents
+    ), n AS (
+      SELECT doc_id, tk, len(tk) AS ntk,
+             CASE WHEN len(tk) <= 32 THEN 1
+                  ELSE (len(tk) - 32 + 23) // 24 + 1 END AS nc
+      FROM t WHERE len(tk) > 0
+    ), e AS (
+      SELECT doc_id, tk, ntk, unnest(generate_series(0, nc - 1)) AS ci
+      FROM n
+    )
+    SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+           array_to_string(tk[ci * 24 + 1 : ci * 24 + 32], ' ')
+             AS chunk_text,
+           CAST(len(tk[ci * 24 + 1 : ci * 24 + 32]) AS BIGINT) AS n_tokens
+    FROM e
+    """,
+)
+def _chunk_docs(spark, sf):
+    # RAG/embedding chunking: 32-token windows, 8-token overlap
+    # (stride 24). Entirely map-side — tokenize, explode chunk indices,
+    # slice; NO shuffle (plan-pinned). The final chunk may be short; a
+    # short doc yields exactly one chunk.
+    from s3_log_parser_spark.operators.sampling import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf, "documents"), chunk_tokens=32, overlap_tokens=8
     )
 
 

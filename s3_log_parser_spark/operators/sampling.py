@@ -288,6 +288,97 @@ def deterministic_shuffle(
     return keyed.orderBy("shuffle_key", id_col)
 
 
+def stratified_sample(
+    df: DataFrame,
+    n_per_group: int,
+    by: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "v1",
+    mode: str = "djb2",
+) -> DataFrame:
+    """deterministic per-stratum sample: keep each group's ``n`` rows
+    with the SMALLEST seeded shuffle keys (:func:`shuffle_key`) — a
+    reproducible uniform draw with no RNG state and no count pass.
+    Unlike fraction-based ``df.sampleBy`` (seed interacts with
+    partitioning), the draw depends only on ``(seed, id)``: re-runs,
+    engine changes, and corpus growth leave drawn members stable except
+    where a new smaller-keyed row bumps the group's cutoff. Adds
+    ``sample_rank`` (1-based within group); a new ``seed`` draws a
+    fresh sample.
+
+    Scale: Catalyst rewrites the ``row_number() <= n`` filter to a
+    WindowGroupLimit — every map task keeps only its local top-n per
+    group BEFORE the exchange, so the shuffle carries
+    ≤ n·groups·tasks rows, never the corpus (plan-pinned in tests)."""
+    if n_per_group < 1:
+        raise ValueError(f"stratified_sample: n_per_group={n_per_group}")
+    w = Window.partitionBy(by).orderBy(
+        F.col("_sk").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_sk", shuffle_key(id_col, seed, mode))
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= n_per_group)
+        .drop("_sk")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 256,
+    overlap_tokens: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """split each document's token stream into fixed-size windows with
+    optional overlap — the retrieval/embedding chunking stage (RAG
+    indexing, long-doc embedding): chunk ``i`` covers tokens
+    ``[i·stride, i·stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap_tokens``; the final chunk may be
+    short; a doc shorter than one chunk yields exactly one chunk;
+    empty docs yield none. Returns one row per chunk:
+    ``(id, chunk_id, chunk_text, n_tokens)``. ``chunk_text`` re-joins
+    whitespace tokens with single spaces (runs of whitespace collapse —
+    chunking is defined on the token stream, not raw bytes).
+
+    Scale: entirely map-side — tokenize, explode
+    ``ceil((n-chunk)/stride)+1`` indices per doc, slice. NO shuffle of
+    any kind (plan-pinned); at 100 TB this is the shape you want —
+    chunking must never be the stage that exchanges the corpus."""
+    if chunk_tokens < 1 or not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError(
+            "chunk_documents: need chunk_tokens >= 1 and "
+            f"0 <= overlap < chunk, got {chunk_tokens}/{overlap_tokens}"
+        )
+    stride = chunk_tokens - overlap_tokens
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col), toks.alias("_tk"), F.size(toks).alias("_n")
+    ).filter(F.col("_n") > 0)
+    # ceil((n - chunk)/stride) + 1 for n > chunk, else 1
+    n_chunks = F.when(F.col("_n") <= chunk_tokens, F.lit(1)).otherwise(
+        F.floor(
+            (F.col("_n") - chunk_tokens + stride - 1) / F.lit(stride)
+        ).cast("int")
+        + 1
+    )
+    piece = F.slice(
+        "_tk", F.col("chunk_id").cast("int") * stride + 1, chunk_tokens
+    )
+    return (
+        base.withColumn(
+            "chunk_id",
+            F.explode(F.sequence(F.lit(0).cast("long"), (n_chunks - 1).cast("long"))),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id"),
+            F.array_join(piece, " ").alias("chunk_text"),
+            F.size(piece).cast("long").alias("n_tokens"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     ctx_tokens: int = 2048,

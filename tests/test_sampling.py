@@ -363,3 +363,73 @@ def test_running_start_plan_has_no_whole_group_window(spark, corpus):
     for s in specs:
         if "doc_id" in s and "_bkt" not in s:
             raise AssertionError(f"whole-group window survived: {s}")
+
+
+def test_stratified_sample_deterministic_and_group_limited(spark, corpus):
+    from s3_log_parser_spark.operators.sampling import stratified_sample
+
+    out = stratified_sample(corpus, n_per_group=3, seed="t1")
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["source"], []).append(r)
+    assert set(per) == {"s0", "s1"}
+    for g, rs in per.items():
+        assert sorted(r["sample_rank"] for r in rs) == [1, 2, 3]
+    # re-run identical; different seed draws a different sample
+    again = {(r["source"], r["doc_id"]) for r in
+             stratified_sample(corpus, 3, seed="t1").collect()}
+    assert again == {(r["source"], r["doc_id"]) for r in rows}
+    other = {(r["source"], r["doc_id"]) for r in
+             stratified_sample(corpus, 3, seed="t2").collect()}
+    assert other != again
+    # scale pin: the rank filter compiles to a WindowGroupLimit (map
+    # tasks keep local top-n per group before the exchange)
+    plan = (
+        stratified_sample(corpus, 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
+
+
+def test_chunk_documents_windows_and_no_shuffle(spark):
+    from s3_log_parser_spark.operators.sampling import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),   # short: 1 chunk
+            (2, " ".join(f"u{i}" for i in range(64))),   # 3 chunks
+            (3, ""),                                      # empty: none
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=32, overlap_tokens=8)
+    rows = sorted(
+        out.collect(), key=lambda r: (r["doc_id"], r["chunk_id"])
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2}
+    assert [r["n_tokens"] for r in by_doc[1]] == [10]
+    # stride 24: chunks at 0, 24, 48 -> 32, 32, 16 tokens
+    assert [r["n_tokens"] for r in by_doc[2]] == [32, 32, 16]
+    # overlap: chunk 1 starts 8 tokens before chunk 0 ends
+    c0 = by_doc[2][0]["chunk_text"].split(" ")
+    c1 = by_doc[2][1]["chunk_text"].split(" ")
+    assert c0[-8:] == c1[:8]
+    # full coverage in order: stitching de-overlapped chunks rebuilds
+    # the token stream
+    stitched = c0 + c1[8:] + by_doc[2][2]["chunk_text"].split(" ")[8:]
+    assert stitched == [f"u{i}" for i in range(64)]
+    # bad params raise
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=8, overlap_tokens=8)
+    # scale pin: chunking never shuffles
+    plan = (
+        chunk_documents(docs, 32, 8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
