@@ -2475,6 +2475,7 @@ _DRIVER_PRIORITY = [
     "semantic_dedup_flags",
     "stratified_sample_ids",
     "chunk_documents_rows",
+    "bm25_topk_docs",
     # the r4-green cohort, rotated back IN: their last driver-recorded
     # row is two rounds old (every one was also re-verified by the full
     # oracle sweep each round since)
@@ -3121,6 +3122,66 @@ def _chunk_docs(spark, sf):
     return chunk_documents(
         _t(spark, sf, "documents"), chunk_tokens=32, overlap_tokens=8
     )
+
+
+_BM25_QUERIES = [
+    (0, "hash join table"),
+    (1, "window sort order"),
+    (2, "vector scan filter"),
+]
+
+
+@q(
+    "bm25_topk_docs",
+    f"""
+    WITH q AS (
+      SELECT * FROM (VALUES {", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)})
+        AS t(q_id, q_text)
+    ), qt AS (
+      SELECT q_id, unnest(list_distinct({_toks_sql('q_text')})) AS term
+      FROM q
+    ), dt AS (
+      SELECT doc_id, unnest({_toks_sql('text')}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM dt
+      WHERE term IN (SELECT DISTINCT term FROM qt)
+      GROUP BY doc_id, term
+    ), dfq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), dl AS (
+      SELECT doc_id, len({_toks_sql('text')}) AS dl FROM documents
+    ), tot AS (
+      SELECT COUNT(*) AS n_docs,
+             SUM(len({_toks_sql('text')})) AS sumdl
+      FROM documents
+    ), sc AS (
+      SELECT qt.q_id, tf.doc_id,
+        SUM((CAST(FLOOR(ln((tot.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)
+                          + 1.0) * 1000) AS BIGINT)
+             * (tf.tf * 220 * tot.sumdl * 100))
+            // (tf.tf * 10000 * tot.sumdl
+                + 120 * (25 * tot.sumdl + 75 * dl.dl * tot.n_docs))) AS s
+      FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+              JOIN dl USING (doc_id), tot
+      GROUP BY 1, 2
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+           doc_id, CAST(s AS BIGINT) AS score_x1000
+    FROM sc QUALIFY rank <= 5
+    """,
+)
+def _bm25(spark, sf):
+    # BM25 lexical retrieval (operators/retrieval.py): exact-rational
+    # tf normalization (fractions cleared by 100·sumdl, 64-bit integer
+    # div), idf = floor(ln(1 + (N-df+.5)/(df+.5))·1000). Postings are
+    # pruned by the broadcast query-term set BEFORE the tf aggregate —
+    # the corpus-wide exchange carries only query-term rows.
+    from s3_log_parser_spark.operators.retrieval import bm25_topk
+
+    qdf = spark.createDataFrame(_BM25_QUERIES, "q_id long, q_text string")
+    return bm25_topk(_t(spark, sf, "documents"), qdf, k=5)
 
 
 @q(
