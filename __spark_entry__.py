@@ -2476,6 +2476,7 @@ _DRIVER_PRIORITY = [
     "stratified_sample_ids",
     "chunk_documents_rows",
     "bm25_topk_docs",
+    "hybrid_rrf_topk",
     # the r4-green cohort, rotated back IN: their last driver-recorded
     # row is two rounds old (every one was also re-verified by the full
     # oracle sweep each round since)
@@ -3131,10 +3132,11 @@ _BM25_QUERIES = [
 ]
 
 
-@q(
-    "bm25_topk_docs",
-    f"""
-    WITH q AS (
+def _bm25_ctes() -> str:
+    """the BM25 scoring pipeline as a reusable CTE chain ending in
+    ``sc(q_id, doc_id, s)`` — shared by the bm25 row and the hybrid
+    RRF row."""
+    return f"""q AS (
       SELECT * FROM (VALUES {", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)})
         AS t(q_id, q_text)
     ), qt AS (
@@ -3164,7 +3166,13 @@ _BM25_QUERIES = [
       FROM tf JOIN qt USING (term) JOIN dfq USING (term)
               JOIN dl USING (doc_id), tot
       GROUP BY 1, 2
-    )
+    )"""
+
+
+@q(
+    "bm25_topk_docs",
+    f"""
+    WITH {_bm25_ctes()}
     SELECT CAST(q_id AS BIGINT) AS q_id,
            CAST(ROW_NUMBER() OVER (PARTITION BY q_id
                 ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
@@ -3182,6 +3190,55 @@ def _bm25(spark, sf):
 
     qdf = spark.createDataFrame(_BM25_QUERIES, "q_id long, q_text string")
     return bm25_topk(_t(spark, sf, "documents"), qdf, k=5)
+
+
+@q(
+    "hybrid_rrf_topk",
+    f"""
+    WITH {_bm25_ctes()}, lex AS (
+      SELECT q_id, rank, doc_id FROM (
+        SELECT q_id, doc_id, s,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY s DESC, doc_id) AS rank
+        FROM sc) WHERE rank <= 5
+    ), dense AS (
+      SELECT q_id, rank, doc_id FROM (
+        SELECT qe.vec_id AS q_id, c.vec_id AS doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qe.vec_id
+                 ORDER BY {_cos_x1m_sql('qe.embedding', 'c.embedding')} DESC,
+                          c.vec_id ASC) AS rank
+        FROM embeddings qe JOIN embeddings c ON qe.vec_id != c.vec_id
+        WHERE qe.vec_id < 3) WHERE rank <= 5
+    ), contrib AS (
+      SELECT q_id, doc_id, 1000000 // (60 + rank) AS c FROM lex
+      UNION ALL
+      SELECT q_id, doc_id, 1000000 // (60 + rank) FROM dense
+    ), fused AS (
+      SELECT q_id, doc_id, SUM(c) AS rrf FROM contrib GROUP BY 1, 2
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
+           doc_id, CAST(rrf AS BIGINT) AS rrf_x1m
+    FROM fused QUALIFY rank <= 5
+    """,
+)
+def _hybrid_rrf(spark, sf):
+    # hybrid retrieval: BM25 (text queries) + dense cosine (the same
+    # query ids as embedding rows) fused by reciprocal rank — integer
+    # arithmetic end to end, so fusion is cross-engine exact no matter
+    # how incomparable the two retrievers' raw scores are.
+    from s3_log_parser_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from s3_log_parser_spark.operators.similarity import cosine_topk
+
+    qdf = spark.createDataFrame(_BM25_QUERIES, "q_id long, q_text string")
+    lex = bm25_topk(_t(spark, sf, "documents"), qdf, k=5)
+    emb = _t(spark, sf, "embeddings")
+    dense = cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=5).select(
+        "q_id", "rank", F.col("c_id").alias("doc_id")
+    )
+    return rrf_fuse([lex, dense], k=5)
 
 
 @q(

@@ -122,3 +122,51 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select(q_id_col, "rank", id_col, "score_x1000")
     )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    k: int = 10,
+    k_rrf: int = 60,
+    q_id_col: str = "q_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """reciprocal-rank fusion of retriever outputs — the standard
+    hybrid-retrieval combiner (Cormack et al., SIGIR 2009): each input
+    frame must carry ``(q_id, rank, doc_id)`` (the shape
+    :func:`bm25_topk` and ``similarity.cosine_topk``/``ivf_topk``
+    emit); a doc's fused score is
+    ``Σ_retrievers floor(1e6 / (k_rrf + rank))`` — integer end to end,
+    so fusion is cross-engine exact regardless of how incomparable the
+    retrievers' raw scores are (that incomparability is WHY rank
+    fusion, not score fusion, is the default).
+
+    Scale: each input is already top-k-sized per query (retrievers cut
+    the corpus); fusion is a union + one hash aggregate + one
+    per-query window over ≤ Σ k_i candidate rows."""
+    if not ranked:
+        raise ValueError("rrf_fuse: need at least one ranked input")
+    parts = [
+        df.select(
+            F.col(q_id_col),
+            F.col(id_col),
+            F.expr(f"1000000 div ({k_rrf} + rank)")
+            .cast("long")
+            .alias("_c"),
+        )
+        for df in ranked
+    ]
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    fused = allc.groupBy(q_id_col, id_col).agg(
+        F.sum("_c").cast("long").alias("rrf_x1m")
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("rrf_x1m").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, "rank", id_col, "rrf_x1m")
+    )

@@ -75,3 +75,33 @@ def test_bm25_deterministic_tie_break(spark):
     by_rank = sorted(out, key=lambda r: r["rank"])
     assert [r["doc_id"] for r in by_rank] == [0, 1, 2, 3]
     assert len({r["score_x1000"] for r in out}) == 1
+
+
+def test_rrf_fuse_combines_and_tie_breaks(spark):
+    from s3_log_parser_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 20), (0, 3, 30)],
+        "q_id long, rank long, doc_id long",
+    )
+    dense = spark.createDataFrame(
+        [(0, 1, 30), (0, 2, 40)],
+        "q_id long, rank long, doc_id long",
+    )
+    out = {r["doc_id"]: (r["rank"], r["rrf_x1m"])
+           for r in rrf_fuse([lex, dense], k=10).collect()}
+    # doc 30: rank1 in one + rank1... doc 30 = lex rank 3 + dense rank 1
+    c = lambda r: 1_000_000 // (60 + r)
+    assert out[10][1] == c(1)
+    assert out[30][1] == c(3) + c(1)
+    assert out[40][1] == c(2)
+    assert out[20][1] == c(2)
+    # doc appearing in both lists outranks single-list docs here;
+    # doc 10 (rank-1 in lex) is next
+    assert out[30][0] == 1 and out[10][0] == 2
+    # deterministic tie-break on equal scores: lower doc_id first
+    assert (out[20][0], out[40][0]) == (3, 4)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([])
