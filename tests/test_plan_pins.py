@@ -88,3 +88,27 @@ def test_cube_counts_margins_read_cached_cells_not_raw(spark, tmp_path):
     ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
     assert len(ids) == 1
     assert plan.count("InMemoryTableScan") >= 4
+
+
+def test_bm25_broadcasts_everything_and_heaps_topk(spark):
+    """BM25's only corpus-wide exchange carries query-term postings:
+    every join is broadcast (query terms, df table, totals, dl side
+    small after pruning), never a SortMergeJoin of the corpus, and the
+    per-query top-k is a partial+final WindowGroupLimit, not a full
+    sort."""
+    plan = _plan(entry.queries()["bm25_topk_docs"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    # no Python UDF stages (the literal query list's createDataFrame
+    # mentions PythonRDD in its scan node; that is driver-side setup,
+    # not a per-row UDF)
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_semantic_dedup_no_corpus_broadcast_no_cartesian(spark):
+    """SemDeDup's pair stage is a cell-keyed self-join: no
+    CartesianProduct and no broadcast of the corpus side (only the
+    ≤ n_cells centroid frame broadcasts)."""
+    plan = _plan(entry.queries()["semantic_dedup_flags"](spark, SF))
+    assert "CartesianProduct" not in plan
