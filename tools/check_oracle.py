@@ -2,7 +2,11 @@
 ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB at
 sf0.01, compare row count + column names + order-insensitive values.
 
-Usage: python tools/check_oracle.py [name ...]
+Usage: python tools/check_oracle.py [--log FILE] [name ...]
+
+``--log FILE`` additionally appends every per-query line (plus a
+header with timestamp/git rev) to FILE — the committed per-round
+sweep log (ORACLE_SWEEP_r{N}.txt, VERDICT r5 next #7).
 """
 
 from __future__ import annotations
@@ -56,7 +60,29 @@ def compare(name, spark_df, sql, con) -> str:
 
 
 def main():
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    log_path = None
+    if "--log" in args:
+        i = args.index("--log")
+        log_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    only = set(args)
+    log = open(log_path, "a") if log_path else None
+
+    def emit(line: str) -> None:
+        print(line)
+        if log:
+            log.write(line + "\n")
+            log.flush()
+
+    if log:
+        import subprocess
+        rev = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd="/root/repo",
+        ).stdout.strip()
+        emit(f"# oracle sweep @ {time.strftime('%Y-%m-%d %H:%M:%S')} "
+             f"rev={rev} sf_dir={SF_DIR}")
     spark = get_spark(app_name="oracle-check", cores=8, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -84,8 +110,10 @@ def main():
         flag = "" if verdict.startswith(("OK", "ROWS-ONLY")) else "  <<< FAIL"
         if flag:
             failures += 1
-        print(f"{name:32s} {dt:6.1f}s  {verdict}{flag}")
-    print(f"\n{failures} failures")
+        emit(f"{name:32s} {dt:6.1f}s  {verdict}{flag}")
+    emit(f"\n{failures} failures")
+    if log:
+        log.close()
     sys.exit(1 if failures else 0)
 
 
