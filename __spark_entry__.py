@@ -2477,6 +2477,10 @@ _DRIVER_PRIORITY = [
     "chunk_documents_rows",
     "bm25_topk_docs",
     "hybrid_rrf_topk",
+    "text_gopher_flags",
+    "importance_bucket_weights",
+    "importance_doc_scores",
+    "conv_dedup_rows",
     # the r4-green cohort, rotated back IN: their last driver-recorded
     # row is two rounds old (every one was also re-verified by the full
     # oracle sweep each round since)
@@ -4110,6 +4114,255 @@ def _audit_report(spark, sf):
         ],
     )
     return rep.withColumn("passed", F.col("passed").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# r6 second wave: Gopher rule filter, hashed-ngram importance, conv dedup
+# ---------------------------------------------------------------------------
+
+from s3_log_parser_spark.functions.text import (  # noqa: E402
+    GOPHER_STOPWORDS as _GOPHER_SW,
+)
+
+_GOPHER_BANK_SQL = "[" + ", ".join(f"'{w}'" for w in _GOPHER_SW) + "]"
+
+# The synthetic corpus has no natural stopwords / bullets / symbol runs,
+# so every rule except word_count would be constant — like the PII row,
+# the oracle runs over a DETERMINISTIC derived view both engines build
+# identically: planted stopword tails (%3), '#' runs (%7), bullet-line
+# blocks (%11), ellipsis-ended lines (%13) make each flag vary.
+_G3 = " the result works and that should have been clear with context"
+_G7 = " " + "#" * 40
+_G11 = "\n- item" * 10
+_G13 = "\nto be continued..." * 3
+_GOPHER_VIEW_SQL = f"""
+      SELECT doc_id,
+        text
+        || CASE WHEN doc_id % 3 = 0 THEN '{_G3}' ELSE '' END
+        || CASE WHEN doc_id % 7 = 0 THEN '{_G7}' ELSE '' END
+        || CASE WHEN doc_id % 11 = 0 THEN '{_G11}' ELSE '' END
+        || CASE WHEN doc_id % 13 = 0 THEN '{_G13}' ELSE '' END AS text
+      FROM documents
+"""
+
+
+@q(
+    "text_gopher_flags",
+    f"""
+    WITH gdocs AS ({_GOPHER_VIEW_SQL}
+    ), toks AS (
+      SELECT doc_id, text, {_toks_sql('text')} AS tk FROM gdocs
+    ), m AS (
+      SELECT doc_id,
+        CAST(len(tk) AS BIGINT) AS n,
+        CAST(coalesce(list_sum(list_transform(tk, t -> length(t))), 0)
+             AS BIGINT) AS total_len,
+        CAST(len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]')))
+             AS BIGINT) AS n_alpha,
+        CAST(len(regexp_extract_all(coalesce(text, ''), '#')) AS BIGINT)
+          AS n_hash,
+        CAST(len(regexp_extract_all(coalesce(text, ''), '\\.\\.\\.|…'))
+             AS BIGINT) AS n_ell,
+        greatest(CAST(len(list_filter(string_split(coalesce(text, ''),
+                 chr(10)), l -> trim(l) != '')) AS BIGINT), 1) AS n_lines,
+        CAST(len(list_filter(list_filter(string_split(coalesce(text, ''),
+                 chr(10)), l -> trim(l) != ''),
+                 l -> list_contains(['-', '*', '•'], left(ltrim(l), 1))))
+             AS BIGINT) AS n_bullet,
+        CAST(len(list_filter(list_filter(string_split(coalesce(text, ''),
+                 chr(10)), l -> trim(l) != ''),
+                 l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+             AS BIGINT) AS n_ell_end,
+        CAST(len(list_filter({_GOPHER_BANK_SQL},
+                 w -> list_contains(list_transform(tk, t -> lower(t)), w)))
+             AS BIGINT) AS n_stop
+      FROM toks
+    ), fl AS (
+      SELECT doc_id, n,
+        CAST(n >= 50 AND n <= 100000 AS INTEGER) AS word_count_ok,
+        CAST(total_len >= 3 * n AND total_len <= 10 * n AND n > 0
+             AS INTEGER) AS mean_word_len_ok,
+        CAST(n_hash * 10 <= n AND n_ell * 10 <= n AS INTEGER)
+          AS symbol_ratio_ok,
+        CAST(n_bullet * 10 <= n_lines * 9 AS INTEGER) AS bullet_ok,
+        CAST(n_ell_end * 10 <= n_lines * 3 AS INTEGER) AS ellipsis_ok,
+        CAST(n_alpha * 10 >= n * 8 AS INTEGER) AS alpha_ratio_ok,
+        CAST(n_stop >= 2 AS INTEGER) AS stopword_ok
+      FROM m
+    )
+    SELECT doc_id, n AS n_words, word_count_ok, mean_word_len_ok,
+           symbol_ratio_ok, bullet_ok, ellipsis_ok, alpha_ratio_ok,
+           stopword_ok,
+           CAST(word_count_ok = 1 AND mean_word_len_ok = 1
+                AND symbol_ratio_ok = 1 AND bullet_ok = 1
+                AND ellipsis_ok = 1 AND alpha_ratio_ok = 1
+                AND stopword_ok = 1 AS INTEGER) AS gopher_pass
+    FROM fl
+    """,
+)
+def _gopher(spark, sf):
+    # the published Gopher rule suite (Rae et al. 2021 A1.1) as exact-
+    # integer per-doc flags — cross-multiplied ratios, no division, so
+    # both engines agree bit-for-bit (over the planted derived view)
+    from s3_log_parser_spark.functions.text import gopher_flags
+
+    d = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        *[
+            F.when(d % m == 0, F.lit(s)).otherwise(F.lit(""))
+            for m, s in ((3, _G3), (7, _G7), (11, _G11), (13, _G13))
+        ],
+    )
+    gdocs = _t(spark, sf, "documents").select("doc_id", planted.alias("text"))
+    fl = gopher_flags("text")
+    cols = [F.col("doc_id"), fl["n_words"].alias("n_words")] + [
+        fl[k].cast("int").alias(k)
+        for k in (
+            "word_count_ok",
+            "mean_word_len_ok",
+            "symbol_ratio_ok",
+            "bullet_ok",
+            "ellipsis_ok",
+            "alpha_ratio_ok",
+            "stopword_ok",
+            "gopher_pass",
+        )
+    ]
+    return gdocs.select(*cols)
+
+
+# hashed 2-gram feature CTE (the n=2 analog of _SHINGLE_CTE) + the
+# bucketed presence sets both importance oracles share. Target slice =
+# doc_id % 7 = 0 — a deterministic in-corpus "domain" stand-in; the
+# library takes any target frame.
+_IMP_CTE = f"""
+    WITH toks AS (
+      SELECT doc_id, {_toks_sql('text')} AS tk FROM documents
+    ), tkh AS (
+      SELECT doc_id, list_transform(tk, t -> {_djb2_sql('t')}) AS th,
+             len(tk) AS ntk
+      FROM toks
+    ), sh AS (
+      SELECT doc_id,
+        list_distinct(
+          CASE WHEN ntk >= 2
+               THEN list_transform(generate_series(1, ntk - 1),
+                      i -> list_reduce(
+                             list_prepend(5381::BIGINT, th[i:i+1]),
+                             {_DJB2_FOLD}))
+               ELSE [list_reduce(list_prepend(5381::BIGINT, th),
+                                 {_DJB2_FOLD})] END) AS hs
+      FROM tkh
+    ), e AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(hs, h -> h % 512)))
+               AS bucket
+      FROM sh
+    ), r AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS raw_n FROM e GROUP BY bucket
+    ), tg AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS target_n
+      FROM e WHERE doc_id % 7 = 0 GROUP BY bucket
+    ), wt AS (
+      SELECT r.bucket, r.raw_n, coalesce(tg.target_n, 0) AS target_n,
+             CAST(FLOOR((coalesce(tg.target_n, 0) + 1) * 1000.0
+                        / (r.raw_n + 1)) AS BIGINT) AS weight_x1000
+      FROM r LEFT JOIN tg USING (bucket)
+    )
+"""
+
+
+@q(
+    "importance_bucket_weights",
+    f"""
+    {_IMP_CTE}
+    SELECT bucket, raw_n, target_n, weight_x1000 FROM wt
+    """,
+)
+def _imp_weights(spark, sf):
+    # DSIR-style hashed-ngram importance weight table: both corpus
+    # distributions collapse to ≤512 rows (aggregate-sized no matter
+    # the corpus), weight = add-one-smoothed integer frequency ratio
+    from s3_log_parser_spark.operators.importance import bucket_weights
+
+    docs = _t(spark, sf, "documents")
+    return bucket_weights(
+        docs, docs.filter(F.col("doc_id") % 7 == 0), n=2, buckets=512
+    )
+
+
+@q(
+    "importance_doc_scores",
+    f"""
+    {_IMP_CTE}
+    SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+           CAST(SUM(wt.weight_x1000) AS BIGINT) AS imp_x1000
+    FROM e JOIN wt USING (bucket) GROUP BY e.doc_id
+    """,
+)
+def _imp_scores(spark, sf):
+    # per-doc importance: explode distinct buckets → broadcast join the
+    # ≤512-row weight table → re-aggregate on doc_id. The corpus never
+    # shuffles on anything but its own id; target-like docs score high
+    from s3_log_parser_spark.operators.importance import (
+        bucket_weights,
+        importance_scores,
+    )
+
+    docs = _t(spark, sf, "documents")
+    w = bucket_weights(
+        docs, docs.filter(F.col("doc_id") % 7 == 0), n=2, buckets=512
+    )
+    return importance_scores(docs, w, n=2, buckets=512)
+
+
+@q(
+    "conv_dedup_rows",
+    f"""
+    WITH t AS ({_TURNS_FROM_EVENTS_SQL}), u AS (
+      SELECT conv_id, turn_idx, role, tool FROM t
+      UNION ALL
+      SELECT conv_id || '~dup', turn_idx, role, tool FROM t
+      WHERE CAST(conv_id AS BIGINT) % 5 = 0
+    ), s AS (
+      SELECT conv_id,
+             CAST(COUNT(*) AS BIGINT) AS n_turns,
+             string_agg(role || ':' || coalesce(tool, ''), '|'
+                        ORDER BY turn_idx) AS sig
+      FROM u GROUP BY conv_id
+    )
+    SELECT conv_id, n_turns, sig,
+           CAST(COUNT(*) OVER (PARTITION BY sig) AS BIGINT) AS group_size,
+           CAST(conv_id = MIN(conv_id) OVER (PARTITION BY sig) AS INTEGER)
+             AS keep
+    FROM s
+    """,
+)
+def _conv_dedup_rows(spark, sf):
+    # structural conversation dedup: same-signature convs (identical
+    # role:tool turn sequences — templated/replayed conversations)
+    # collapse to one canonical winner. The natural corpus has no
+    # structural twins at sf0.01, so the oracled view PLANTS them
+    # deterministically (every 5th conv re-keyed '~dup' — both engines
+    # build the identical view); the full signature string is part of
+    # the compared row, so the turn-order restoration itself is pinned
+    from s3_log_parser_spark.operators.conversations import conv_dedup
+
+    t = _turns_from_events(spark, sf)
+    planted = t.filter(
+        F.col("conv_id").cast("long") % 5 == 0
+    ).withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("~dup")))
+    u = t.select("conv_id", "turn_idx", "role", "tool").unionByName(
+        planted.select("conv_id", "turn_idx", "role", "tool")
+    )
+    cd = conv_dedup(u)
+    return cd.select(
+        "conv_id",
+        "n_turns",
+        "sig",
+        F.col("group_size").cast("long").alias("group_size"),
+        F.col("keep").cast("int").alias("keep"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -161,6 +161,105 @@ def pii_redact(col: Column | str) -> Column:
     return out
 
 
+# The Gopher rule-set stopword bank (Rae et al. 2021, appendix A1.1 —
+# the published heuristic filter suite most large text pipelines start
+# from). Deliberately distinct from the language-ID banks above.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+# a line "starts with a bullet" if its first non-space char is one of
+_BULLET_CHARS = ("-", "*", "•")
+_ELLIPSIS_RE = r"\.\.\.|…"
+
+
+def gopher_flags(
+    col: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: int = 3,
+    max_mean_len: int = 10,
+) -> dict[str, Column]:
+    """the Gopher quality-rule suite as per-document boolean flags
+    (True = the document PASSES that rule), plus ``n_words`` and the
+    conjunction ``gopher_pass``.
+
+    Every rule is exact integer arithmetic (ratios compared cross-
+    multiplied, never divided) so the DuckDB oracle reproduces each
+    flag bit-for-bit; the thresholds are the published defaults:
+
+    - ``word_count_ok``      min_words ≤ words ≤ max_words
+    - ``mean_word_len_ok``   3 ≤ mean word length ≤ 10
+                             (3·n ≤ total_chars ≤ 10·n)
+    - ``symbol_ratio_ok``    '#' count and '…'/'...' count each ≤ 0.1·words
+    - ``bullet_ok``          ≤ 90% of non-empty lines start with a bullet
+    - ``ellipsis_ok``        ≤ 30% of non-empty lines end with an ellipsis
+    - ``alpha_ratio_ok``     ≥ 80% of words contain an [A-Za-z] letter
+    - ``stopword_ok``        ≥ 2 distinct bank stopwords present
+
+    Pure Catalyst (token/line arrays + HOFs — whole-stage codegen, no
+    Python). Empty/NULL text fails ``word_count_ok`` and therefore
+    ``gopher_pass``; line rules treat a document with no non-empty
+    lines as having one line so the ≤-comparisons stay total."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    toks = tokens(c)
+    n = F.size(toks).cast("long")
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    n_alpha = F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+    ).cast("long")
+    n_hash = F.size(F.regexp_extract_all(c, F.lit("#"), F.lit(0))).cast(
+        "long"
+    )
+    n_ell = F.size(
+        F.regexp_extract_all(c, F.lit(_ELLIPSIS_RE), F.lit(0))
+    ).cast("long")
+    lines = F.filter(F.split(c, "\n"), lambda ln: F.trim(ln) != "")
+    n_lines = F.greatest(F.size(lines).cast("long"), F.lit(1).cast("long"))
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.substring(F.ltrim(ln), 1, 1).isin(*_BULLET_CHARS),
+        )
+    ).cast("long")
+    n_ell_end = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.endswith(F.rtrim(ln), F.lit("..."))
+            | F.endswith(F.rtrim(ln), F.lit("…")),
+        )
+    ).cast("long")
+    lowered = F.transform(toks, F.lower)
+    bank = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop_types = F.size(
+        F.filter(bank, lambda w: F.array_contains(lowered, w))
+    ).cast("long")
+    flags = {
+        "n_words": n,
+        "word_count_ok": (n >= min_words) & (n <= max_words),
+        "mean_word_len_ok": (total_len >= min_mean_len * n)
+        & (total_len <= max_mean_len * n)
+        & (n > 0),
+        "symbol_ratio_ok": (n_hash * 10 <= n) & (n_ell * 10 <= n),
+        "bullet_ok": n_bullet * 10 <= n_lines * 9,
+        "ellipsis_ok": n_ell_end * 10 <= n_lines * 3,
+        "alpha_ratio_ok": n_alpha * 10 >= n * 8,
+        "stopword_ok": n_stop_types >= 2,
+    }
+    passed = None
+    for name, f in flags.items():
+        if name == "n_words":
+            continue
+        passed = f if passed is None else (passed & f)
+    flags["gopher_pass"] = passed
+    return flags
+
+
+def gopher_pass(col: Column | str, **kw) -> Column:
+    """True iff every Gopher rule passes — the filter-predicate form."""
+    return gopher_flags(col, **kw)["gopher_pass"]
+
+
 # whitespace / control classes spelled out as explicit char classes:
 # Java regex \s and RE2 \s disagree on vertical tab (Java includes
 # \x0B, RE2 does not), so the oracle would silently diverge on it.

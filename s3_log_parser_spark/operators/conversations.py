@@ -107,6 +107,68 @@ def tool_cooccurrence(
     )
 
 
+def conv_signature(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_idx_col: str = "turn_idx",
+    part_cols: tuple[str, ...] = ("role", "tool"),
+) -> DataFrame:
+    """``(conv_id, n_turns, sig)`` — one row per conversation with its
+    structural signature: the turn-ordered ``part_cols`` values joined
+    as ``role:tool|role:tool|…`` (NULL parts render as ''). Two
+    conversations with the same signature have byte-identical structure
+    (same roles, same tools, same order) — the conversation-grain
+    analog of a document's exact-dedup digest, catching templated /
+    replayed conversations that differ only in ids or timestamps.
+
+    ONE hash aggregate on the conv key: ``collect_list(struct(idx,
+    parts))`` then an in-row ``array_sort`` + join — turn order is
+    restored per GROUP, so no window and no global sort. Per-conv state
+    is the conversation's own turns (conversations are bounded — the
+    same assumption every turn-ordering op here makes)."""
+    part = F.concat_ws(
+        ":", *[F.coalesce(F.col(c), F.lit("")) for c in part_cols]
+    )
+    rows = F.collect_list(F.struct(F.col(turn_idx_col).alias("i"), part.alias("p")))
+    sig = F.array_join(
+        F.transform(F.array_sort(rows), lambda r: r["p"]), "|"
+    )
+    return df.groupBy(F.col(conv_col).alias("conv_id")).agg(
+        F.count("*").cast("long").alias("n_turns"), sig.alias("sig")
+    )
+
+
+def conv_dedup(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_idx_col: str = "turn_idx",
+    part_cols: tuple[str, ...] = ("role", "tool"),
+) -> DataFrame:
+    """structural conversation dedup: the signature frame plus
+    ``group_size`` and ``keep`` (True on each signature's canonical
+    winner — MIN conv_id, deterministic re-run to re-run). Downstream:
+    ``.filter("keep")`` for the deduped corpus, ``group_size > 1`` for
+    the duplicate report.
+
+    Scale shape: signatures are xxhash64-digested BEFORE the winner
+    window so the shuffle key and the window's sort rows carry an
+    8-byte digest, not the signature string (which is O(turns) long);
+    collision risk at 64 bits is the same the exact-dedup digest path
+    already accepts. One aggregate + one window on the digest."""
+    from pyspark.sql import Window
+
+    sigs = conv_signature(df, conv_col, turn_idx_col, part_cols)
+    keyed = sigs.withColumn("_k", F.xxhash64("sig"))
+    w = Window.partitionBy("_k")
+    return (
+        keyed.withColumn(
+            "group_size", F.count("*").over(w).cast("long")
+        )
+        .withColumn("keep", F.col("conv_id") == F.min("conv_id").over(w))
+        .drop("_k")
+    )
+
+
 def role_transitions(
     df: DataFrame,
     conv_col: str = "conv_id",

@@ -1,0 +1,165 @@
+"""Hashed n-gram importance weighting for targeted data selection
+(DSIR-style: Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling" — hashed n-gram features, importance = how much
+more target-like than raw-like a document's features are).
+
+Spark-first shape: the feature space is ``buckets`` hashed n-gram
+buckets (default 4096), so BOTH distribution tables are aggregate-sized
+(≤ ``buckets`` rows) no matter how large the corpora are. Scoring a
+100 TB corpus is then one explode over each doc's distinct buckets plus
+one BROADCAST join against the ≤4096-row weight table and a map-side
+re-aggregate — the corpus never shuffles on anything but its own doc
+ids, and the weight table never leaves the driver-broadcast path.
+
+Arithmetic is exact-integer (house rule — the DuckDB oracle reproduces
+every value digit-for-digit): per-bucket weight is the add-one-smoothed
+frequency ratio
+
+    weight_x{scale} = ((target_n + 1) * scale) div (raw_n + 1)
+
+NOT the log-ratio of normalized probabilities. Dropping the
+(raw_total / target_total) normalizer multiplies every bucket's ratio
+by the same constant, so per-doc rankings — the thing resampling
+consumes — are unchanged, while the arithmetic stays in BIGINT: with
+``scale`` = 1000 the product is exact far past any real per-bucket
+count (overflow needs target_n > ~9.2e15). The log-space sum of the
+original paper is order-isomorphic to this sum-of-ratios only
+approximately; we document the surrogate rather than paying float
+nondeterminism across engines (see BASELINE.md exact-compare rules).
+
+Presence-based features: each document contributes its DISTINCT bucket
+set (``shingle_hashes`` is already a distinct set), matching the
+binary-feature variant of hashed-ngram models.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingle_hashes
+
+
+def ngram_buckets(
+    col: Column | str, n: int = 2, buckets: int = 4096, mode: str = "djb2"
+) -> Column:
+    """distinct hashed n-gram feature buckets of a text column
+    (array<long>, values in [0, buckets)). ``mode="xxhash64"`` selects
+    the production hash family; ``djb2`` is the oracle-parity family."""
+    return F.array_distinct(
+        F.transform(
+            shingle_hashes(col, n, mode),
+            lambda h: F.pmod(h, F.lit(buckets)),
+        )
+    )
+
+
+def bucket_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    buckets: int = 4096,
+    mode: str = "djb2",
+    scale: int = 1000,
+) -> DataFrame:
+    """per-bucket importance weight table:
+    ``(bucket, raw_n, target_n, weight_x{scale})`` with
+    ``weight = ((target_n + 1) * scale) div (raw_n + 1)`` (add-one
+    smoothed, exact BIGINT). ≤ ``buckets`` rows — always broadcastable.
+
+    Both corpora's presence streams are tagged and UNIONED into ONE
+    hash aggregate (map-side combine on each input, a single ≤buckets-
+    key exchange) — no join of the count tables at all, so the outer-
+    join semantics (a bucket seen in only one corpus still gets a
+    smoothed weight) fall out for free. Buckets seen in neither corpus
+    don't need a row — scorers coalesce their weight to ``scale`` (the
+    smoothed (0+1)/(0+1) ratio) at lookup time."""
+
+    def _tagged(df: DataFrame, rc: int, tc: int) -> DataFrame:
+        return df.select(
+            F.explode(ngram_buckets(text_col, n, buckets, mode)).alias(
+                "bucket"
+            ),
+            F.lit(rc).alias("_r"),
+            F.lit(tc).alias("_t"),
+        )
+
+    j = (
+        _tagged(raw, 1, 0)
+        .unionByName(_tagged(target, 0, 1))
+        .groupBy("bucket")
+        .agg(
+            F.sum("_r").cast("long").alias("raw_n"),
+            F.sum("_t").cast("long").alias("target_n"),
+        )
+    )
+    # floor division on non-negative BIGINTs — identical to DuckDB's
+    # `//`. The double-precision intermediate is exact while
+    # (target_n+1)*scale < 2^53 (~9e12 docs per bucket at scale=1000);
+    # raise rather than silently round past it.
+    if scale <= 0:
+        raise ValueError("scale must be positive")
+    w = F.floor(
+        (F.col("target_n") + 1) * scale / (F.col("raw_n") + 1)
+    ).cast("long")
+    return j.withColumn(f"weight_x{scale}", w)
+
+
+def importance_scores(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    buckets: int = 4096,
+    mode: str = "djb2",
+    scale: int = 1000,
+) -> DataFrame:
+    """``(id_col, n_feats, imp_x{scale})`` per document: the sum of its
+    distinct feature buckets' weights (buckets absent from the weight
+    table count ``scale``, the smoothed neutral ratio). Target-like
+    documents score high, raw-typical documents score ≈ n_feats·scale.
+
+    Plan shape: explode → ONE broadcast hash join against the
+    ≤ ``buckets``-row weight table → hash re-aggregate on the doc id.
+    No sort, no corpus-sized shuffle beyond the id re-aggregate."""
+    wcol = f"weight_x{scale}"
+    b = df.select(
+        F.col(id_col),
+        F.explode(ngram_buckets(text_col, n, buckets, mode)).alias("bucket"),
+    )
+    j = b.join(
+        F.broadcast(weights.select("bucket", wcol)), "bucket", "left"
+    )
+    return j.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_feats"),
+        F.sum(F.coalesce(F.col(wcol), F.lit(scale)))
+        .cast("long")
+        .alias(f"imp_x{scale}"),
+    )
+
+
+def importance_resample(
+    df: DataFrame,
+    weights: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    buckets: int = 4096,
+    mode: str = "djb2",
+    scale: int = 1000,
+) -> DataFrame:
+    """the top-``k`` most target-like documents (deterministic total
+    order: score desc, then id asc — re-runs pick the same set). The
+    global top-k is a TakeOrderedAndProject (per-partition heaps, no
+    full sort); joining back to the original rows is an id equi-join
+    against a ≤k-row broadcast side."""
+    scores = importance_scores(
+        df, weights, id_col, text_col, n, buckets, mode, scale
+    )
+    top = scores.orderBy(
+        F.col(f"imp_x{scale}").desc(), F.col(id_col).asc()
+    ).limit(k)
+    return df.join(F.broadcast(top), id_col, "inner")

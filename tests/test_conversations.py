@@ -115,3 +115,61 @@ def test_tool_cooccurrence_pairs(spark):
         ("browse", "edit"): 1,
         ("browse", "search"): 1,
     }
+
+
+# ---------------------------------------------------------------------------
+# structural conversation dedup
+# ---------------------------------------------------------------------------
+
+
+def _dup_turns(spark):
+    t0 = datetime.datetime(2025, 6, 1, 12, 0, 0)
+    s = lambda sec: t0 + datetime.timedelta(seconds=sec)  # noqa: E731
+    rows = [
+        # convs x and y: identical role:tool structure (different times)
+        ("x", 0, "user", None, s(0)),
+        ("x", 1, "assistant", "search", s(10)),
+        ("x", 2, "user", None, s(20)),
+        ("y", 0, "user", None, s(100)),
+        ("y", 1, "assistant", "search", s(110)),
+        ("y", 2, "user", None, s(120)),
+        # conv z: same roles, different tool → distinct structure
+        ("z", 0, "user", None, s(0)),
+        ("z", 1, "assistant", "edit", s(10)),
+        ("z", 2, "user", None, s(20)),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx long, role string, tool string, "
+        "ts timestamp",
+    )
+
+
+def test_conv_signature_restores_turn_order(spark):
+    from s3_log_parser_spark.operators.conversations import conv_signature
+
+    # feed rows deliberately OUT of turn order
+    rows = [
+        ("a", 2, "user", None),
+        ("a", 0, "system", "boot"),
+        ("a", 1, "assistant", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx long, role string, tool string"
+    )
+    got = conv_signature(df).collect()[0]
+    assert got["sig"] == "system:boot|assistant:|user:"
+    assert got["n_turns"] == 3
+
+
+def test_conv_dedup_flags_and_winner(spark):
+    from s3_log_parser_spark.operators.conversations import conv_dedup
+
+    got = {r["conv_id"]: r.asDict() for r in conv_dedup(_dup_turns(spark)).collect()}
+    assert got["x"]["group_size"] == 2 and got["y"]["group_size"] == 2
+    assert got["z"]["group_size"] == 1
+    # min conv_id wins its group, deterministically
+    assert got["x"]["keep"] is True
+    assert got["y"]["keep"] is False
+    assert got["z"]["keep"] is True
+    assert got["x"]["sig"] == got["y"]["sig"] != got["z"]["sig"]

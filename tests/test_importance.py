@@ -1,0 +1,111 @@
+"""Hashed n-gram importance weighting (DSIR-style data selection):
+weight-table algebra, score ranking, unseen-bucket neutrality, and the
+deterministic top-k resample."""
+
+from pyspark.sql import functions as F
+
+from s3_log_parser_spark.operators.importance import (
+    bucket_weights,
+    importance_resample,
+    importance_scores,
+    ngram_buckets,
+)
+
+# target-like docs share the "alpha beta" bigram vocabulary; raw-only
+# docs live in a disjoint "gamma delta" vocabulary
+_TARGETISH = [
+    (1, "alpha beta gamma alpha beta"),
+    (2, "alpha beta alpha beta delta"),
+]
+_RAWISH = [
+    (3, "zeta eta theta zeta eta"),
+    (4, "theta zeta eta theta iota"),
+    (5, "iota theta zeta eta eta"),
+]
+_BUCKETS = 64
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        _TARGETISH + _RAWISH, "doc_id long, text string"
+    )
+
+
+def _weights(spark):
+    docs = _docs(spark)
+    target = docs.filter(F.col("doc_id") <= 2)
+    return docs, bucket_weights(docs, target, n=2, buckets=_BUCKETS)
+
+
+def test_bucket_weights_match_python_replica(spark):
+    """the weight table equals an independent python fold over the
+    per-doc bucket sets Spark itself extracted."""
+    docs, w = _weights(spark)
+    per_doc = {
+        r["doc_id"]: set(r["b"])
+        for r in docs.select(
+            "doc_id", ngram_buckets("text", 2, _BUCKETS).alias("b")
+        ).collect()
+    }
+    raw_n: dict[int, int] = {}
+    target_n: dict[int, int] = {}
+    for did, bs in per_doc.items():
+        for b in bs:
+            raw_n[b] = raw_n.get(b, 0) + 1
+            if did <= 2:
+                target_n[b] = target_n.get(b, 0) + 1
+    got = {r["bucket"]: r.asDict() for r in w.collect()}
+    assert set(got) == set(raw_n)
+    for b, row in got.items():
+        assert row["raw_n"] == raw_n[b]
+        assert row["target_n"] == target_n.get(b, 0)
+        assert row["weight_x1000"] == (
+            (target_n.get(b, 0) + 1) * 1000 // (raw_n[b] + 1)
+        )
+
+
+def test_scores_rank_target_like_docs_higher(spark):
+    docs, w = _weights(spark)
+    scores = {
+        r["doc_id"]: r["imp_x1000"]
+        for r in importance_scores(docs, w, buckets=_BUCKETS).collect()
+    }
+    assert set(scores) == {1, 2, 3, 4, 5}
+    assert min(scores[1], scores[2]) > max(scores[3], scores[4], scores[5])
+
+
+def test_unseen_buckets_score_neutral(spark):
+    """a doc whose vocabulary was never trained on gets exactly
+    n_feats·scale — the smoothed (0+1)/(0+1) ratio per feature."""
+    docs, w = _weights(spark)
+    novel = spark.createDataFrame(
+        [(99, "omega kappa lambda omega kappa")], "doc_id long, text string"
+    )
+    row = importance_scores(novel, w, buckets=_BUCKETS).collect()
+    # guard: the novel bigrams must genuinely miss the trained buckets
+    trained = {r["bucket"] for r in w.collect()}
+    nb = set(
+        novel.select(
+            F.explode(ngram_buckets("text", 2, _BUCKETS)).alias("b")
+        ).toPandas()["b"]
+    )
+    if nb & trained:  # 64 buckets — collision possible; only then relax
+        assert row[0]["imp_x1000"] >= row[0]["n_feats"] * 250
+    else:
+        assert row[0]["imp_x1000"] == row[0]["n_feats"] * 1000
+
+
+def test_resample_deterministic_topk(spark):
+    docs, w = _weights(spark)
+    a = importance_resample(docs, w, k=2, buckets=_BUCKETS)
+    b = importance_resample(docs, w, k=2, buckets=_BUCKETS)
+    ids_a = sorted(r["doc_id"] for r in a.collect())
+    ids_b = sorted(r["doc_id"] for r in b.collect())
+    assert ids_a == ids_b == [1, 2]
+    # original columns survive the join back
+    assert "text" in a.columns
+
+
+def test_weight_table_is_aggregate_sized(spark):
+    _, w = _weights(spark)
+    assert w.count() <= _BUCKETS

@@ -112,3 +112,23 @@ def test_semantic_dedup_no_corpus_broadcast_no_cartesian(spark):
     ≤ n_cells centroid frame broadcasts)."""
     plan = _plan(entry.queries()["semantic_dedup_flags"](spark, SF))
     assert "CartesianProduct" not in plan
+
+
+def test_importance_scores_broadcast_weights_never_sortmerge(spark):
+    # the ≤buckets-row weight table must reach the corpus as a
+    # BroadcastHashJoin; a SortMergeJoin here would shuffle the whole
+    # corpus on the bucket key at 100 TB
+    plan = _plan(entry.queries()["importance_doc_scores"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_gopher_flags_pure_catalyst_one_scan(spark):
+    import re
+
+    plan = _plan(entry.queries()["text_gopher_flags"](spark, SF))
+    assert "Python" not in plan  # HOFs only — no UDF stage
+    ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
+    assert len(ids) == 1
+    assert "Exchange" not in plan  # row-local flags: map-side only

@@ -319,3 +319,97 @@ def test_nfc_text_matches_unicodedata_and_duckdb(spark):
     # NULL passes through
     n = spark.createDataFrame([(0, None)], "i long, s string")
     assert n.select(nfc_text("s").alias("n")).collect()[0]["n"] is None
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule suite (Rae et al. 2021 A1.1)
+# ---------------------------------------------------------------------------
+
+
+def _gopher(spark, texts):
+    from s3_log_parser_spark.functions.text import gopher_flags
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    fl = gopher_flags("t")
+    out = df.select("i", *[c.alias(k) for k, c in fl.items()])
+    return {
+        r["i"]: {k: v for k, v in r.asDict().items() if k != "i"}
+        for r in out.collect()
+    }
+
+
+def test_gopher_good_document_passes(spark):
+    # 60 filler words (len 4) + the stopword couple: mean len in [3,10],
+    # all alpha, no bullets/ellipses/symbols
+    text = " ".join(["word"] * 58 + ["the", "with"])
+    got = _gopher(spark, [text])[0]
+    assert got["n_words"] == 60
+    for k, v in got.items():
+        if k != "n_words":
+            assert v is True, k
+
+
+def test_gopher_individual_rules(spark):
+    base = " ".join(["word"] * 58 + ["the", "with"])
+    cases = {
+        # too short: 10 words
+        "word_count_ok": " ".join(["word"] * 8 + ["the", "with"]),
+        # mean word length > 10
+        "mean_word_len_ok": " ".join(["extraordinarily"] * 58 + ["the", "with"]),
+        # >10% hash symbols: 60 words + 12 hashes inline
+        "symbol_ratio_ok": base + " " + "#" * 12,
+        # 10 lines, all bullet-started
+        "bullet_ok": "\n".join("- " + base for _ in range(10)),
+        # 10 lines, 4 end with ellipsis (> 30%)
+        "ellipsis_ok": "\n".join(
+            [base + " end..." for _ in range(4)] + [base] * 6
+        ),
+        # 60 words but only 2 contain a letter (< 80%)
+        "alpha_ratio_ok": " ".join(["1234"] * 58 + ["the", "with"]),
+        # only one distinct bank stopword
+        "stopword_ok": " ".join(["word"] * 59 + ["the"]),
+    }
+    for rule, text in cases.items():
+        got = _gopher(spark, [text])[0]
+        assert got[rule] is False, rule
+        assert got["gopher_pass"] is False, rule
+
+
+def test_gopher_edge_inputs(spark):
+    got = _gopher(spark, [None, "", "   "])
+    for i in range(3):
+        assert got[i]["n_words"] == 0
+        assert got[i]["word_count_ok"] is False
+        assert got[i]["gopher_pass"] is False
+        # line rules stay total (no div-by-zero style failures)
+        assert got[i]["bullet_ok"] is True
+        assert got[i]["ellipsis_ok"] is True
+
+
+def test_gopher_symbol_ratio_counts_unicode_ellipsis(spark):
+    # 20 words + 3 '…' chars → 3*10 > 20 → fails symbol rule
+    text = " ".join(["word"] * 18 + ["the", "with"]) + " … … …"
+    got = _gopher(spark, [text])[0]
+    assert got["symbol_ratio_ok"] is False
+
+
+def test_gopher_pass_predicate_matches_flags(spark):
+    from s3_log_parser_spark.functions.text import gopher_pass
+
+    texts = [
+        " ".join(["word"] * 58 + ["the", "with"]),
+        "too short",
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    got = {
+        r["i"]: r["p"]
+        for r in df.select(
+            "i", gopher_pass("t").alias("p")
+        ).collect()
+    }
+    assert got == {0: True, 1: False, 2: False}
