@@ -2481,6 +2481,9 @@ _DRIVER_PRIORITY = [
     "importance_bucket_weights",
     "importance_doc_scores",
     "conv_dedup_rows",
+    "corpus_diff_rows",
+    "corpus_diff_churn",
+    "cluster_canonical_rows",
     # the r4-green cohort, rotated back IN: their last driver-recorded
     # row is two rounds old (every one was also re-verified by the full
     # oracle sweep each round since)
@@ -4361,6 +4364,176 @@ def _conv_dedup_rows(spark, sf):
         "n_turns",
         "sig",
         F.col("group_size").cast("long").alias("group_size"),
+        F.col("keep").cast("int").alias("keep"),
+    )
+
+
+# planted snapshot pair both engines build identically from documents:
+# every 17th doc removed, every 5th edited in place, every 13th
+# re-keyed (+1e6) as an addition — all four diff statuses populated
+_DIFF_NEW_SQL = """
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 5 = 0 THEN ' [v2]' ELSE '' END
+               AS text
+      FROM documents WHERE doc_id % 17 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE doc_id % 13 = 0
+"""
+_DIFF_CTE = f"""
+    WITH nw AS ({_DIFF_NEW_SQL}
+    ), od AS (
+      SELECT doc_id AS id, md5(lower(trim(coalesce(text, '')))) AS dig
+      FROM documents
+    ), nd AS (
+      SELECT doc_id AS id, md5(lower(trim(coalesce(text, '')))) AS dig
+      FROM nw
+    ), df AS (
+      SELECT coalesce(od.id, nd.id) AS id,
+             od.dig AS old_dig, nd.dig AS new_dig,
+             CASE WHEN od.dig IS NULL THEN 'added'
+                  WHEN nd.dig IS NULL THEN 'removed'
+                  WHEN od.dig = nd.dig THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM od FULL JOIN nd ON od.id = nd.id
+    )
+"""
+
+
+def _diff_frames(spark, sf):
+    from s3_log_parser_spark.operators.versioning import corpus_diff
+
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    new = (
+        docs.filter(d % 17 != 0)
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(d % 5 == 0, F.lit(" [v2]")).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        .unionByName(
+            docs.filter(d % 13 == 0).select(
+                (d + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return corpus_diff(docs, new)
+
+
+@q(
+    "corpus_diff_rows",
+    f"""
+    {_DIFF_CTE}
+    SELECT id, old_dig, new_dig, status FROM df
+    """,
+)
+def _corpus_diff_rows(spark, sf):
+    # snapshot diff (dataset versioning): per-id added/removed/changed/
+    # unchanged between two corpus versions. The Spark plan is ONE
+    # tagged-union hash aggregate on the id — no join operator at all —
+    # while the oracle spells the same relation as a FULL JOIN
+    return _diff_frames(spark, sf)
+
+
+@q(
+    "corpus_diff_churn",
+    f"""
+    {_DIFF_CTE}
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n FROM df GROUP BY status
+    """,
+)
+def _corpus_diff_churn(spark, sf):
+    # churn summary of the same diff (≤4 bounded rows)
+    from s3_log_parser_spark.operators.versioning import corpus_diff_stats
+
+    return corpus_diff_stats(_diff_frames(spark, sf))
+
+
+@q(
+    "cluster_canonical_rows",
+    f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, {_toks_sql('text')} AS tk FROM documents
+    ), tkh AS (
+      SELECT doc_id, list_transform(tk, t -> {_djb2_sql('t')}) AS th,
+             len(tk) AS ntk
+      FROM toks
+    ), shc AS (
+      SELECT doc_id,
+        list_distinct(
+          CASE WHEN ntk >= 3
+               THEN list_transform(generate_series(1, ntk - 2),
+                      i -> list_reduce(
+                             list_prepend(5381::BIGINT, th[i:i+2]),
+                             {_DJB2_FOLD}))
+               ELSE [list_reduce(list_prepend(5381::BIGINT, th),
+                                 {_DJB2_FOLD})] END) AS hs
+      FROM tkh
+    ), mh AS (
+      SELECT doc_id, {_minhash_cols_sql(8)} FROM shc
+    ), cand AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib FROM mh a JOIN mh b
+        ON a.doc_id < b.doc_id
+       AND ((a.mh_0 = b.mh_0 AND a.mh_1 = b.mh_1)
+         OR (a.mh_2 = b.mh_2 AND a.mh_3 = b.mh_3)
+         OR (a.mh_4 = b.mh_4 AND a.mh_5 = b.mh_5)
+         OR (a.mh_6 = b.mh_6 AND a.mh_7 = b.mh_7))
+    ), pairs AS (
+      SELECT c.ia, c.ib FROM cand c
+      JOIN shc x ON x.doc_id = c.ia
+      JOIN shc y ON y.doc_id = c.ib
+      WHERE FLOOR(len(list_intersect(x.hs, y.hs)) * 1000.0
+                  / len(list_distinct(x.hs || y.hs))) >= 500
+    ), edges AS (
+      SELECT ia AS src, ib AS dst FROM pairs
+      UNION SELECT ib, ia FROM pairs
+    ), reach(id, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+    ), cl AS (
+      SELECT CAST(id AS BIGINT) AS id, CAST(MIN(lab) AS BIGINT) AS cid
+      FROM reach GROUP BY id
+    ), lab AS (
+      SELECT d.doc_id AS id, coalesce(cl.cid, d.doc_id) AS cluster_id,
+             CAST(length(d.text) AS BIGINT) AS s
+      FROM documents d LEFT JOIN cl ON cl.id = d.doc_id
+    )
+    SELECT id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS group_size,
+           CAST(id = first_value(id) OVER (
+                  PARTITION BY cluster_id ORDER BY s DESC, id ASC)
+                AS INTEGER) AS keep
+    FROM lab
+    """,
+)
+def _cluster_canonical_rows(spark, sf):
+    # quality-aware canonicalization: each near-dup cluster keeps its
+    # highest-score member (ties → min id) instead of the min-id
+    # winner — score here is text length (exact in both engines; the
+    # operator takes any numeric score, e.g. quality_score_x1000).
+    # Every doc appears: cluster-less docs are singletons with keep=1
+    from s3_log_parser_spark.operators.dedup import (
+        cluster_canonical,
+        dup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold_x1000=500, auto_block=True)
+    clusters = dup_clusters(pairs)
+    scored = docs.select(
+        "doc_id", F.length("text").cast("long").alias("s")
+    )
+    cc = cluster_canonical(scored, clusters, "s")
+    return cc.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "group_size",
         F.col("keep").cast("int").alias("keep"),
     )
 

@@ -1052,6 +1052,62 @@ def dup_clusters(
     )
 
 
+def cluster_canonical(
+    docs: DataFrame,
+    clusters: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware canonicalization over a duplicate-cluster frame:
+    ``(id, cluster_id, group_size, keep)`` for EVERY doc, where each
+    cluster keeps its HIGHEST-``score_col`` member (ties → min id)
+    instead of the min-id winner every other dedup policy here uses —
+    when a quality signal exists, dropping the best-written copy of a
+    near-dup group because its id sorted last is leaving data quality
+    on the table (the big-corpus pipelines all pick winners this way).
+
+    ``clusters`` is :func:`dup_clusters` output (only ids that entered
+    the pair graph); docs absent from it are their own singleton
+    cluster with ``keep=True``. ``score_col`` must be numeric (raises
+    otherwise — a string score would silently rank lexically).
+
+    Scale shape: one equi-join of the corpus against the id-keyed
+    cluster frame, one hash aggregate per cluster computing BOTH the
+    group size and the winner — ``MIN(struct(-score, id))`` picks
+    (max score, then min id) in a single orderable-struct aggregate,
+    no window and no per-cluster sort — then one equi-join of the
+    ≤#clusters winner table back on the label. All keys are uniformly
+    distributed ids/labels."""
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(docs.schema[score_col].dataType, NumericType):
+        raise TypeError(
+            f"cluster_canonical: score column {score_col!r} must be "
+            f"numeric, got {docs.schema[score_col].dataType}"
+        )
+    lab = docs.select(
+        F.col(id_col).alias("id"), F.col(score_col).alias("_s")
+    ).join(clusters, "id", "left")
+    lab = lab.withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col("id"))
+    )
+    winners = lab.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("group_size"),
+        F.min(
+            F.struct((-F.col("_s")).alias("ns"), F.col("id").alias("wid"))
+        ).alias("_w"),
+    )
+    return (
+        lab.join(winners, "cluster_id")
+        .select(
+            "id",
+            "cluster_id",
+            "group_size",
+            (F.col("id") == F.col("_w.wid")).alias("keep"),
+        )
+    )
+
+
 @dataclass
 class DedupIndex:
     """Persistable history-side state for :func:`incremental_dedup`.

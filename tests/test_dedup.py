@@ -983,3 +983,64 @@ def test_semantic_dedup_drops_near_identical_and_policies(spark):
     # every row comes back exactly once with a cell assignment
     out = semantic_dedup(emb, n_cells=1)
     assert out.count() == 4 and out.select("cell").distinct().count() == 1
+
+
+def test_cluster_canonical_picks_best_score_then_min_id(spark):
+    """winner per cluster = max score, tie → min id; singleton docs
+    (absent from the cluster frame) keep themselves."""
+    from s3_log_parser_spark.operators.dedup import cluster_canonical
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (7, 5), (42, 1)],
+        "doc_id long, score long",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (42, 7)],
+        "id long, cluster_id long",
+    )
+    got = {
+        r["id"]: (r["cluster_id"], r["group_size"], r["keep"])
+        for r in cluster_canonical(docs, clusters, "score").collect()
+    }
+    # cluster 1: scores 10/99/99 → winner id 2 (tie broken by min id)
+    assert got[1] == (1, 3, False)
+    assert got[2] == (1, 3, True)
+    assert got[3] == (1, 3, False)
+    # cluster 7: 5 beats 1
+    assert got[7] == (7, 2, True)
+    assert got[42] == (7, 2, False)
+
+
+def test_cluster_canonical_singletons_and_exactly_one_winner(spark):
+    from s3_log_parser_spark.operators.dedup import (
+        cluster_canonical,
+        dup_clusters,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, (i * 37) % 11) for i in range(20)], "doc_id long, s long"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long"
+    )
+    out = cluster_canonical(docs, dup_clusters(pairs), "s").collect()
+    assert len(out) == 20  # every doc appears exactly once
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, rows in by_cluster.items():
+        assert sum(r["keep"] for r in rows) == 1, cid
+        assert all(r["group_size"] == len(rows) for r in rows)
+    # docs 0,1,2 clustered; 5,6 clustered; 15 singletons
+    assert len(by_cluster) == 17
+
+
+def test_cluster_canonical_rejects_string_score(spark):
+    import pytest
+
+    from s3_log_parser_spark.operators.dedup import cluster_canonical
+
+    docs = spark.createDataFrame([(1, "high")], "doc_id long, s string")
+    clusters = spark.createDataFrame([], "id long, cluster_id long")
+    with pytest.raises(TypeError, match="numeric"):
+        cluster_canonical(docs, clusters, "s")
