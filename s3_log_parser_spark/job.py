@@ -16,6 +16,8 @@ Subcommands:
   ingest   — streaming daily loop: new document files → audit gate →
              index dedup → accepted parquet + index append (+ optional
              HLL/CMS sketch maintenance over the accepted batch keys)
+  diff     — snapshot diff between two corpus versions (dataset
+             versioning: added/removed/changed/unchanged + churn)
   compact  — small-file maintenance pass over a parquet sink
 """
 
@@ -343,6 +345,32 @@ def cmd_ingest(args) -> None:
           f"across {len(per_batch)} batches")
 
 
+def cmd_diff(args) -> None:
+    from .operators.versioning import corpus_diff, corpus_diff_stats
+
+    spark = _spark(args)
+    old = spark.read.parquet(args.old)
+    new = spark.read.parquet(args.new)
+    diff = corpus_diff(
+        old,
+        new,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        normalize=not args.raw,
+    )
+    if args.output:
+        # partitioned by status so downstream consumers (re-crawl the
+        # removed, re-embed the changed) prune to their slice at scan
+        diff.write.mode("overwrite").partitionBy("status").parquet(
+            args.output
+        )
+        diff = spark.read.parquet(args.output)
+    for r in sorted(
+        corpus_diff_stats(diff).collect(), key=lambda r: r["status"]
+    ):
+        print(f"{r['status']:<10} {r['n']}")
+
+
 def cmd_compact(args) -> None:
     from .sources.maintenance import compact_table
 
@@ -476,6 +504,23 @@ def main(argv: list[str] | None = None) -> None:
                      help="Bloom sidecar size in bits (0 = none); "
                      "~10x expected distinct docs for ~1%% FP")
 
+    dv = sub.add_parser(
+        "diff",
+        help="snapshot diff of two document corpus versions: per-id "
+        "added/removed/changed/unchanged (one exchange, no join) + "
+        "churn summary; -o writes the rows partitioned by status",
+    )
+    dv.add_argument("-a", "--old", required=True, help="old snapshot parquet")
+    dv.add_argument("-b", "--new", required=True, help="new snapshot parquet")
+    dv.add_argument("-o", "--output", help="write diff rows here")
+    dv.add_argument("--id-col", default="doc_id")
+    dv.add_argument("--text-col", default="text")
+    dv.add_argument(
+        "--raw",
+        action="store_true",
+        help="digest text verbatim (default: lower+trim canonical form)",
+    )
+
     co = sub.add_parser(
         "compact",
         help="rewrite small-file partitions of a parquet sink in place "
@@ -488,7 +533,7 @@ def main(argv: list[str] | None = None) -> None:
     args = p.parse_args(argv)
     {"gen": cmd_gen, "parse": cmd_parse, "extract": cmd_extract,
      "run": cmd_run, "prep": cmd_prep, "ingest": cmd_ingest,
-     "compact": cmd_compact}[args.cmd](args)
+     "diff": cmd_diff, "compact": cmd_compact}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -170,3 +170,33 @@ def test_ingest_cli_two_batches(spark, tmp_path):
     main(argv)
     acc3 = spark.read.parquet(f"{out}/accepted")
     assert acc3.count() == acc2.count()
+
+
+def test_diff_cli_statuses_and_partitioned_sink(spark, tmp_path, capsys):
+    old_p = str(tmp_path / "old")
+    new_p = str(tmp_path / "new")
+    out = str(tmp_path / "diff")
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "bravo"), (3, "charlie")],
+        "doc_id long, text string",
+    ).write.parquet(old_p)
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "bravo EDITED"), (9, "echo")],
+        "doc_id long, text string",
+    ).write.parquet(new_p)
+    main(["--cores", "4", "diff", "-a", old_p, "-b", new_p, "-o", out])
+    printed = capsys.readouterr().out
+    assert "added      1" in printed
+    assert "changed    1" in printed
+    assert "removed    1" in printed
+    assert "unchanged  1" in printed
+    back = spark.read.parquet(out)
+    got = {r["id"]: r["status"] for r in back.collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 9: "added"}
+    # status-partitioned layout: a status filter prunes at the scan
+    import os
+
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("status=")
+    ) == ["status=added", "status=changed", "status=removed",
+          "status=unchanged"]
