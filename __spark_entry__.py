@@ -2484,6 +2484,7 @@ _DRIVER_PRIORITY = [
     "corpus_diff_rows",
     "corpus_diff_churn",
     "cluster_canonical_rows",
+    "conv_examples_stats",
     # the r4-green cohort, rotated back IN: their last driver-recorded
     # row is two rounds old (every one was also re-verified by the full
     # oracle sweep each round since)
@@ -3918,6 +3919,7 @@ _TURNS_FROM_EVENTS_SQL = """
                   ELSE 'system' END AS role,
              CASE WHEN event_type IN ('view', 'click') THEN NULL
                   ELSE event_type END AS tool,
+             event_type || ' ' || props AS text,
              ts
       FROM events
 """
@@ -3943,6 +3945,9 @@ def _turns_from_events(spark, sf):
         )
         .otherwise(F.col("event_type"))
         .alias("tool"),
+        F.concat(F.col("event_type"), F.lit(" "), F.col("props")).alias(
+            "text"
+        ),
         "ts",
     )
 
@@ -4535,6 +4540,52 @@ def _cluster_canonical_rows(spark, sf):
         F.col("cluster_id").cast("long").alias("cluster_id"),
         "group_size",
         F.col("keep").cast("int").alias("keep"),
+    )
+
+
+@q(
+    "conv_examples_stats",
+    f"""
+    WITH t AS ({_TURNS_FROM_EVENTS_SQL}
+    ), j AS (
+      SELECT conv_id,
+             CAST(COUNT(*) AS BIGINT) AS n_turns,
+             CAST(SUM(length(coalesce(text, ''))) AS BIGINT)
+               AS total_chars,
+             arg_min(role, turn_idx) AS first_role,
+             arg_max(role, turn_idx) AS last_role,
+             string_agg(coalesce(text, ''), chr(31) ORDER BY turn_idx)
+               AS joined
+      FROM t GROUP BY conv_id
+    )
+    SELECT conv_id, n_turns, total_chars, first_role, last_role,
+           CAST({_djb2_sql('joined')} AS BIGINT) AS text_djb2
+    FROM j
+    """,
+)
+def _conv_examples_stats(spark, sf):
+    # SFT example assembly: one training example per conversation with
+    # its messages array in turn order (write.json = the JSONL file).
+    # The oracle pins the assembly exactly — turn count, total chars,
+    # first/last role, and a DJB2 digest of the turn-ordered joined
+    # text (order-sensitive: a swapped turn changes the digest)
+    from s3_log_parser_spark.functions.hashes import djb2_expr
+    from s3_log_parser_spark.operators.conversations import conv_examples
+
+    ex = conv_examples(_turns_from_events(spark, sf))
+    joined = F.array_join(
+        F.transform(
+            F.col("messages"), lambda m: F.coalesce(m["text"], F.lit(""))
+        ),
+        "\x1f",
+    )
+    return ex.select(
+        "conv_id",
+        "n_turns",
+        "total_chars",
+        F.get(F.col("messages"), 0)["role"].alias("first_role"),
+        F.element_at(F.col("messages"), -1)["role"].alias("last_role"),
+        djb2_expr(joined).cast("long").alias("text_djb2"),
     )
 
 

@@ -169,6 +169,60 @@ def conv_dedup(
     )
 
 
+def conv_examples(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    tool_col: str = "tool",
+    max_turns: int | None = None,
+    max_chars: int | None = None,
+) -> DataFrame:
+    """Assemble one training example per conversation — the SFT-export
+    grain: ``(conv_id, n_turns, total_chars, messages)`` where
+    ``messages`` is ``array<struct<role, text, tool>>`` in turn order.
+    ``df.write.json(path)`` on the result IS the JSONL examples file
+    (one ``{"conv_id": ..., "messages": [...]}`` object per line).
+
+    Same scale shape as :func:`conv_signature`: ONE hash aggregate on
+    the conv key (``collect_list`` of per-turn structs, turn order
+    restored in-row by ``array_sort`` on the leading index field) — no
+    window, no global sort; per-group state is one conversation's own
+    turns, the bounded-conversation assumption every turn-ordering op
+    here makes. ``max_turns`` / ``max_chars`` are example-level gates
+    applied AFTER assembly (oversized conversations drop whole — a
+    truncated dialogue is a corrupt training example, not a smaller
+    one; chunking belongs upstream at the document grain)."""
+    rows = F.collect_list(
+        F.struct(
+            F.col(turn_idx_col).alias("i"),
+            F.col(role_col).alias("role"),
+            F.col(text_col).alias("text"),
+            F.col(tool_col).alias("tool"),
+        )
+    )
+    msgs = F.transform(
+        F.array_sort(rows),
+        lambda r: F.struct(r["role"], r["text"], r["tool"]),
+    )
+    out = df.groupBy(F.col(conv_col).alias("conv_id")).agg(
+        F.count("*").cast("long").alias("n_turns"), msgs.alias("messages")
+    )
+    total = F.aggregate(
+        F.col("messages"),
+        F.lit(0).cast("long"),
+        lambda acc, m: acc + F.length(F.coalesce(m["text"], F.lit(""))),
+    )
+    out = out.select("conv_id", "n_turns", total.alias("total_chars"),
+                     "messages")
+    if max_turns is not None:
+        out = out.filter(F.col("n_turns") <= max_turns)
+    if max_chars is not None:
+        out = out.filter(F.col("total_chars") <= max_chars)
+    return out
+
+
 def role_transitions(
     df: DataFrame,
     conv_col: str = "conv_id",

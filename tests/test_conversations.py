@@ -173,3 +173,84 @@ def test_conv_dedup_flags_and_winner(spark):
     assert got["y"]["keep"] is False
     assert got["z"]["keep"] is True
     assert got["x"]["sig"] == got["y"]["sig"] != got["z"]["sig"]
+
+
+def test_conv_examples_assembles_in_turn_order(spark):
+    from s3_log_parser_spark.operators.conversations import conv_examples
+
+    # feed turns OUT of order: assembly must restore turn_idx order
+    rows = [
+        ("a", 2, "user", None, "third"),
+        ("a", 0, "user", None, "first"),
+        ("a", 1, "assistant", "search", "second"),
+        ("b", 0, "system", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx long, role string, tool string, "
+        "text string",
+    )
+    got = {r["conv_id"]: r for r in conv_examples(df).collect()}
+    a = got["a"]
+    assert a["n_turns"] == 3
+    assert [m["text"] for m in a["messages"]] == ["first", "second", "third"]
+    assert [m["role"] for m in a["messages"]] == ["user", "assistant", "user"]
+    assert a["messages"][1]["tool"] == "search"
+    assert a["total_chars"] == len("firstsecondthird")
+    # NULL text counts 0 chars and survives as null in the struct
+    b = got["b"]
+    assert b["total_chars"] == 0 and b["messages"][0]["text"] is None
+
+
+def test_conv_examples_gates_drop_whole_conversations(spark):
+    from s3_log_parser_spark.operators.conversations import conv_examples
+
+    rows = [("a", i, "user", None, "x" * 10) for i in range(5)] + [
+        ("b", 0, "user", None, "y" * 100)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx long, role string, tool string, "
+        "text string",
+    )
+    assert {
+        r["conv_id"] for r in conv_examples(df, max_turns=4).collect()
+    } == {"b"}
+    assert {
+        r["conv_id"] for r in conv_examples(df, max_chars=50).collect()
+    } == {"a"}
+
+
+def test_conv_examples_write_json_is_sft_jsonl(spark, tmp_path):
+    import json
+    import os
+
+    from s3_log_parser_spark.operators.conversations import conv_examples
+
+    rows = [
+        ("a", 0, "user", None, "hi"),
+        ("a", 1, "assistant", "search", "hello"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx long, role string, tool string, "
+        "text string",
+    )
+    out = str(tmp_path / "sft")
+    conv_examples(df).coalesce(1).write.json(out)
+    part = next(
+        f for f in os.listdir(out) if f.startswith("part-") and
+        f.endswith(".json")
+    )
+    lines = [
+        json.loads(ln)
+        for ln in open(os.path.join(out, part))
+        if ln.strip()
+    ]
+    assert len(lines) == 1
+    ex = lines[0]
+    assert ex["conv_id"] == "a" and ex["n_turns"] == 2
+    assert ex["messages"][0] == {"role": "user", "text": "hi"}
+    assert ex["messages"][1] == {
+        "role": "assistant", "text": "hello", "tool": "search"
+    }
