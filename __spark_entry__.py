@@ -2485,6 +2485,7 @@ _DRIVER_PRIORITY = [
     "corpus_diff_churn",
     "cluster_canonical_rows",
     "conv_examples_stats",
+    "corpus_profile_by_source",
     # the r4-green cohort, rotated back IN: their last driver-recorded
     # row is two rounds old (every one was also re-verified by the full
     # oracle sweep each round since)
@@ -4587,6 +4588,53 @@ def _conv_examples_stats(spark, sf):
         F.element_at(F.col("messages"), -1)["role"].alias("last_role"),
         djb2_expr(joined).cast("long").alias("text_djb2"),
     )
+
+
+@q(
+    "corpus_profile_by_source",
+    f"""
+    WITH f AS (
+      SELECT source, text, {_toks_sql('text')} AS tk,
+             len(regexp_extract_all(coalesce(text, ''), '[^\\w\\s]'))
+               AS punct,
+             {_sw_hits_sql('en')} AS en, {_sw_hits_sql('de')} AS de,
+             {_sw_hits_sql('fr')} AS fr, {_sw_hits_sql('es')} AS es
+      FROM documents
+    ), g AS (
+      SELECT source,
+             CAST(len(tk) AS BIGINT) AS ntok,
+             CAST(length(coalesce(text, '')) AS BIGINT) AS nch,
+             md5(lower(trim(coalesce(text, '')))) AS dig,
+             CASE WHEN en = greatest(en, de, fr, es) AND en > 0
+                  THEN 1 ELSE 0 END AS is_en,
+             greatest(0, least(10000,
+               CAST(FLOOR(len(list_distinct(tk)) * 1000.0
+                          / greatest(len(tk), 1)) AS BIGINT) * 6
+               + least(CAST(FLOOR(en * 1000.0 / greatest(len(tk), 1))
+                            AS BIGINT) * 4, 1000)
+               - least(punct * 10, 500))) AS q
+      FROM f
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS sum_tokens,
+           CAST(SUM(nch) AS BIGINT) AS sum_chars,
+           CAST(MIN(ntok) AS BIGINT) AS min_tokens,
+           CAST(MAX(ntok) AS BIGINT) AS max_tokens,
+           CAST(COUNT(DISTINCT dig) AS BIGINT) AS n_unique,
+           CAST(SUM(is_en) AS BIGINT) AS n_en,
+           CAST(SUM(q) AS BIGINT) AS sum_quality_x1000
+    FROM g GROUP BY source
+    """,
+)
+def _corpus_profile(spark, sf):
+    # the data-card aggregate: docs/tokens/chars/min-max/exact-unique/
+    # language-mix/quality-mass per source in ONE scan (count_distinct
+    # rides the same aggregate via the standard Expand). Profiling a
+    # 100 TB corpus costs exactly one read
+    from s3_log_parser_spark.operators.corpus import corpus_profile
+
+    return corpus_profile(_t(spark, sf, "documents"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -138,3 +138,49 @@ def corpus_prep(
         )
     )
     return CorpusPrepResult(clean=clean, stats=stats)
+
+
+def corpus_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """The data-card aggregate: ONE scan → one per-source summary row
+    with the numbers every dataset README starts from —
+
+    - ``n_docs``, ``sum_tokens``, ``sum_chars``, ``min_tokens`` /
+      ``max_tokens``
+    - ``n_unique`` (exact distinct canonical digests — the exact-dup
+      rate is ``1 − n_unique/n_docs``)
+    - ``n_en`` (stopword-bank language guess — cheap in-scan language
+      mix; full per-language grids live in ``text_lang_guess``)
+    - ``sum_quality_x1000`` (composite integer quality score — mean
+      quality = ``sum/n_docs`` without a second pass)
+
+    Everything rides in ONE hash aggregate; the exact distinct adds
+    the standard count_distinct Expand inside the same scan (the
+    one-scan multi-metric idiom the audit operator pins). No joins, no
+    windows, no second pass — profiling 100 TB costs exactly one read.
+    Deterministic integer arithmetic throughout → full DuckDB oracle
+    (driver query ``corpus_profile_by_source``)."""
+    from ..functions.text import lang_guess, quality_score_x1000
+
+    t = F.col(text_col)
+    ntok = token_count(text_col)
+    dig = F.md5(F.lower(F.trim(F.coalesce(t, F.lit("")))))
+    return df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(ntok).cast("long").alias("sum_tokens"),
+        F.sum(F.length(F.coalesce(t, F.lit("")))).cast("long").alias(
+            "sum_chars"
+        ),
+        F.min(ntok).cast("long").alias("min_tokens"),
+        F.max(ntok).cast("long").alias("max_tokens"),
+        F.count_distinct(dig).cast("long").alias("n_unique"),
+        F.sum((lang_guess(text_col) == "en").cast("long"))
+        .cast("long")
+        .alias("n_en"),
+        F.sum(quality_score_x1000(text_col)).cast("long").alias(
+            "sum_quality_x1000"
+        ),
+    )
