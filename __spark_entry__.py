@@ -2486,6 +2486,7 @@ _DRIVER_PRIORITY = [
     "cluster_canonical_rows",
     "conv_examples_stats",
     "corpus_profile_by_source",
+    "text_repetition_flags",
     # the r4-green cohort, rotated back IN: their last driver-recorded
     # row is two rounds old (every one was also re-verified by the full
     # oracle sweep each round since)
@@ -4635,6 +4636,134 @@ def _corpus_profile(spark, sf):
     from s3_log_parser_spark.operators.corpus import corpus_profile
 
     return corpus_profile(_t(spark, sf, "documents"))
+
+
+# planted repetition view (the natural corpus is single-line with no
+# repeats): dup lines (%3), dup paragraphs (%5), a repeated 5-token
+# cycle (%7), a dominating 2-gram (%11) — each flag varies, and the
+# char-fraction rules vary WITH base doc length
+_R3 = "\nrepeated line alpha" * 4
+_R5 = "\n\nshared paragraph beta gamma" * 3
+_R7 = " v1 v2 v3 v4 v5" * 6
+_R11 = " zq xw" * 25
+_REP_VIEW_SQL = f"""
+      SELECT doc_id,
+        text
+        || CASE WHEN doc_id % 3 = 0 THEN '{_R3}' ELSE '' END
+        || CASE WHEN doc_id % 5 = 0 THEN '{_R5}' ELSE '' END
+        || CASE WHEN doc_id % 7 = 0 THEN '{_R7}' ELSE '' END
+        || CASE WHEN doc_id % 11 = 0 THEN '{_R11}' ELSE '' END AS text
+      FROM documents
+"""
+
+
+def _rep_oracle_sql() -> str:
+    from s3_log_parser_spark.functions.text import (
+        GOPHER_DUP_NGRAM_PCT,
+        GOPHER_TOP_NGRAM_PCT,
+    )
+
+    def items_stats(alias: str, items: str) -> str:
+        return f"""
+    {alias}x AS (
+      SELECT doc_id, unnest({items}) AS it FROM base
+    ), {alias}g AS (
+      SELECT doc_id, it, COUNT(*) AS c FROM {alias}x GROUP BY 1, 2
+    ), {alias}s AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(c - 1) AS BIGINT) AS docc,
+             CAST(SUM((c - 1) * length(it)) AS BIGINT) AS dxc,
+             CAST(SUM(CASE WHEN c >= 2 THEN c * length(it) ELSE 0 END)
+                  AS BIGINT) AS dac,
+             CAST(MAX(c * length(it)) AS BIGINT) AS top
+      FROM {alias}g GROUP BY doc_id
+    )"""
+
+    lines = (
+        "list_filter(string_split(text, chr(10)), l -> trim(l) != '')"
+    )
+    paras = (
+        "list_filter(string_split(text, chr(10) || chr(10)), "
+        "l -> trim(l) != '')"
+    )
+    ctes = [items_stats("ln", lines), items_stats("pa", paras)]
+    joins = ["LEFT JOIN lns ON lns.doc_id = base.doc_id",
+             "LEFT JOIN pas ON pas.doc_id = base.doc_id"]
+    flag_cols = [
+        "CAST(coalesce(lns.docc, 0) * 100"
+        " <= greatest(coalesce(lns.n, 0), 1) * 30 AS INTEGER)"
+        " AS dup_line_ok",
+        "CAST(coalesce(lns.dxc, 0) * 100 <= dc * 20 AS INTEGER)"
+        " AS dup_line_char_ok",
+        "CAST(coalesce(pas.docc, 0) * 100"
+        " <= greatest(coalesce(pas.n, 0), 1) * 30 AS INTEGER)"
+        " AS dup_para_ok",
+        "CAST(coalesce(pas.dxc, 0) * 100 <= dc * 20 AS INTEGER)"
+        " AS dup_para_char_ok",
+    ]
+    for n in sorted(set(GOPHER_TOP_NGRAM_PCT) | set(GOPHER_DUP_NGRAM_PCT)):
+        grams = (
+            f"CASE WHEN len(tk) >= {n} THEN "
+            f"list_transform(generate_series(1, len(tk) - {n - 1}), "
+            f"i -> array_to_string(tk[i:i+{n - 1}], ' ')) "
+            "ELSE [] END"
+        )
+        ctes.append(items_stats(f"g{n}", grams))
+        joins.append(f"LEFT JOIN g{n}s ON g{n}s.doc_id = base.doc_id")
+    for n, pct in GOPHER_TOP_NGRAM_PCT.items():
+        flag_cols.append(
+            f"CAST(coalesce(g{n}s.top, 0) * 100 <= dc * {pct} AS INTEGER)"
+            f" AS top_{n}gram_ok"
+        )
+    for n, pct in GOPHER_DUP_NGRAM_PCT.items():
+        flag_cols.append(
+            f"CAST(coalesce(g{n}s.dac, 0) * 100 <= dc * {pct} AS INTEGER)"
+            f" AS dup_{n}gram_ok"
+        )
+    names = [c.split(" AS ")[-1] for c in flag_cols]
+    conj = " AND ".join(f"{nm} = 1" for nm in names)
+    return f"""
+    WITH gdocs AS ({_REP_VIEW_SQL}
+    ), base AS (
+      SELECT doc_id, coalesce(text, '') AS text,
+             {_toks_sql('text')} AS tk,
+             CAST(greatest(length(coalesce(text, '')), 1) AS BIGINT) AS dc
+      FROM gdocs
+    ), {','.join(ctes)}
+    SELECT base.doc_id, {', '.join(flag_cols)},
+           CAST({conj} AS INTEGER) AS repetition_pass
+    FROM base {' '.join(joins)}
+    """
+
+
+@q("text_repetition_flags", _rep_oracle_sql())
+def _rep_flags(spark, sf):
+    # the Gopher repetition-rule suite (Rae et al. 2021 A1.2) — the
+    # intra-doc complement of text_gopher_flags (A1.1): dup line/para
+    # occurrence + char fractions, top-{2,3,4}-gram char fractions,
+    # dup-{5..10}-gram char fractions, all exact cross-multiplied
+    # integers over a planted derived view both engines build
+    # identically. The oracle computes every per-value stat via plain
+    # unnest + GROUP BY (no list_reduce struct folds — DuckDB 1.0's
+    # multi-row reduce miscomputes struct accumulators); Spark uses
+    # the row-local sorted-fold (no shuffle), so the row MATCHING also
+    # pins the fold against an independent formulation
+    from s3_log_parser_spark.functions.text import gopher_repetition_flags
+
+    d = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        *[
+            F.when(d % m == 0, F.lit(s)).otherwise(F.lit(""))
+            for m, s in ((3, _R3), (5, _R5), (7, _R7), (11, _R11))
+        ],
+    )
+    gdocs = _t(spark, sf, "documents").select("doc_id", planted.alias("text"))
+    fl = gopher_repetition_flags("text")
+    return gdocs.select(
+        "doc_id", *[c.cast("int").alias(k) for k, c in fl.items()]
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -260,6 +260,124 @@ def gopher_pass(col: Column | str, **kw) -> Column:
     return gopher_flags(col, **kw)["gopher_pass"]
 
 
+def _dup_run_stats(items: Column) -> Column:
+    """``struct(docc, dxc, dac, top)`` over an ``array<string>`` —
+    duplicate-occurrence count, excess-occurrence chars, all-occurrence
+    chars of duplicated values, and the top value's total chars
+    (count × length). ONE in-row pass over the SORTED array (adjacent
+    equality finds duplicates — O(k log k) per row, no shuffle, no
+    per-element rescans of a computed array: the sort is a top-level
+    child evaluated once, the fold sees only lambda variables)."""
+    z = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(1).cast("long").alias("run"),
+        z.alias("docc"),
+        z.alias("dxc"),
+        z.alias("dac"),
+        z.alias("top"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        ln = F.length(x)
+        same = F.struct(
+            acc["prev"].alias("prev"),
+            (acc["run"] + 1).alias("run"),
+            (acc["docc"] + 1).alias("docc"),
+            (acc["dxc"] + ln).alias("dxc"),
+            (
+                acc["dac"]
+                + F.when(acc["run"] == 1, 2 * ln).otherwise(ln)
+            ).alias("dac"),
+            F.greatest(acc["top"], (acc["run"] + 1) * ln).alias("top"),
+        )
+        fresh = F.struct(
+            x.alias("prev"),
+            F.lit(1).cast("long").alias("run"),
+            acc["docc"].alias("docc"),
+            acc["dxc"].alias("dxc"),
+            acc["dac"].alias("dac"),
+            F.greatest(acc["top"], ln).alias("top"),
+        )
+        # NULL prev (initial) compares NULL → otherwise() → fresh run
+        return F.when(x == acc["prev"], same).otherwise(fresh)
+
+    return F.aggregate(
+        F.array_sort(items),
+        init,
+        step,
+        lambda acc: F.struct(
+            acc["docc"].alias("docc"),
+            acc["dxc"].alias("dxc"),
+            acc["dac"].alias("dac"),
+            acc["top"].alias("top"),
+        ),
+    )
+
+
+# Gopher repetition thresholds (Rae et al. 2021 appendix A1.2): a doc
+# PASSES a rule when its fraction is ≤ the threshold (percent).
+GOPHER_TOP_NGRAM_PCT = {2: 20, 3: 18, 4: 16}
+GOPHER_DUP_NGRAM_PCT = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
+
+
+def gopher_repetition_flags(col: Column | str) -> dict[str, Column]:
+    """The Gopher repetition-rule suite (Rae et al. 2021 A1.2) — the
+    intra-document complement of :func:`gopher_flags` (A1.1) — as
+    per-document boolean flags (True = PASSES), plus the conjunction
+    ``repetition_pass``:
+
+    - ``dup_line_ok`` / ``dup_para_ok``: duplicate line / paragraph
+      OCCURRENCES (beyond each value's first) ≤ 30% of lines / paras
+    - ``dup_line_char_ok`` / ``dup_para_char_ok``: characters in those
+      excess occurrences ≤ 20% of the document's characters
+    - ``top_{2,3,4}gram_ok``: characters of the most frequent word
+      n-gram (count × length) ≤ {20, 18, 16}% of document characters
+    - ``dup_{5..10}gram_ok``: characters of ALL occurrences of
+      duplicated word n-grams ≤ {15, 14, 13, 12, 11, 10}% of document
+      characters
+
+    Fractions are compared cross-multiplied (exact integers, no
+    division). Definitional variants of the char-fraction numerators
+    differ across public reimplementations (overlap-coverage vs
+    occurrence-mass); this uses the occurrence-mass form — excess
+    occurrences for lines/paragraphs, all occurrences of duplicated
+    values for n-grams — stated here so the oracle and any reader
+    agree on the exact rule. Documents with < n tokens PASS the
+    n-gram rules (no n-gram exists). Pure Catalyst: per-row sorts and
+    folds only — quality gating at 100 TB stays map-side CPU with no
+    exchange."""
+    from ..operators.dedup import shingles
+
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    toks = tokens(c)
+    ntok = F.size(toks)
+    dc = F.greatest(F.length(c), F.lit(1)).cast("long")
+    lines = F.filter(F.split(c, "\n"), lambda x: F.trim(x) != "")
+    paras = F.filter(F.split(c, "\n\n"), lambda x: F.trim(x) != "")
+    ls = _dup_run_stats(lines)
+    ps = _dup_run_stats(paras)
+    n_lines = F.greatest(F.size(lines).cast("long"), F.lit(1).cast("long"))
+    n_paras = F.greatest(F.size(paras).cast("long"), F.lit(1).cast("long"))
+    flags: dict[str, Column] = {
+        "dup_line_ok": ls["docc"] * 100 <= n_lines * 30,
+        "dup_line_char_ok": ls["dxc"] * 100 <= dc * 20,
+        "dup_para_ok": ps["docc"] * 100 <= n_paras * 30,
+        "dup_para_char_ok": ps["dxc"] * 100 <= dc * 20,
+    }
+    for n, pct in GOPHER_TOP_NGRAM_PCT.items():
+        st = _dup_run_stats(shingles(c, n))
+        flags[f"top_{n}gram_ok"] = (ntok < n) | (st["top"] * 100 <= dc * pct)
+    for n, pct in GOPHER_DUP_NGRAM_PCT.items():
+        st = _dup_run_stats(shingles(c, n))
+        flags[f"dup_{n}gram_ok"] = (ntok < n) | (st["dac"] * 100 <= dc * pct)
+    passed = None
+    for f in flags.values():
+        passed = f if passed is None else (passed & f)
+    flags["repetition_pass"] = passed
+    return flags
+
+
 # whitespace / control classes spelled out as explicit char classes:
 # Java regex \s and RE2 \s disagree on vertical tab (Java includes
 # \x0B, RE2 does not), so the oracle would silently diverge on it.

@@ -413,3 +413,68 @@ def test_gopher_pass_predicate_matches_flags(spark):
         ).collect()
     }
     assert got == {0: True, 1: False, 2: False}
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition suite (Rae et al. 2021 A1.2)
+# ---------------------------------------------------------------------------
+
+
+def _rep(spark, texts):
+    from s3_log_parser_spark.functions.text import gopher_repetition_flags
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    fl = gopher_repetition_flags("t")
+    out = df.select("i", *[c.alias(k) for k, c in fl.items()])
+    return {
+        r["i"]: {k: v for k, v in r.asDict().items() if k != "i"}
+        for r in out.collect()
+    }
+
+
+def test_repetition_clean_document_passes(spark):
+    # 60 distinct 3-char words: every n-gram unique, no line/para dups
+    text = " ".join(f"w{i:02d}" for i in range(60))
+    got = _rep(spark, [text])[0]
+    for k, v in got.items():
+        assert v is True, k
+
+
+def test_repetition_individual_rules(spark):
+    base = " ".join(f"w{i:02d}" for i in range(60))
+    cases = {
+        # 1 base line + 4 identical planted lines -> 3/5 excess > 30%
+        "dup_line_ok": base + "\nrepeated line\n" + "repeated line\n"
+        + "repeated line\nrepeated line",
+        # 3 identical paragraphs -> 2/4 excess > 30%
+        "dup_para_ok": base + ("\n\nshared para body" * 3),
+        # one 2-gram dominating >20% of chars
+        "top_2gram_ok": base + (" zq xw" * 30),
+        # a repeated 5-token cycle -> duplicated 5-grams > 15% of chars
+        "dup_5gram_ok": base + (" v1 v2 v3 v4 v5" * 8),
+    }
+    for rule, text in cases.items():
+        got = _rep(spark, [text])[0]
+        assert got[rule] is False, rule
+        assert got["repetition_pass"] is False, rule
+
+
+def test_repetition_char_fraction_rules_track_doc_length(spark):
+    # the same planted dup lines fail the char rule in a short doc and
+    # pass it in a long one (excess chars fixed, denominator grows)
+    plant = "\ndup line here" * 3
+    short = "tiny base" + plant
+    long_ = " ".join(f"w{i:02d}" for i in range(120)) + plant
+    assert _rep(spark, [short])[0]["dup_line_char_ok"] is False
+    assert _rep(spark, [long_])[0]["dup_line_char_ok"] is True
+
+
+def test_repetition_short_docs_pass_ngram_gates(spark):
+    # < n tokens -> no n-gram exists -> rule passes by definition
+    got = _rep(spark, ["one two three", None, ""])
+    for i in range(3):
+        for n in (5, 6, 7, 8, 9, 10):
+            assert got[i][f"dup_{n}gram_ok"] is True
+        assert got[i]["dup_line_ok"] is True
