@@ -196,6 +196,7 @@ def cmd_prep(args) -> None:
         min_distinct_ratio_x1000=args.min_distinct_ratio,
         policy=args.policy,
         model_filter=args.model_filter,
+        gopher_filter=args.gopher,
         mode=args.hash_mode,
     )
     clean = res.clean
@@ -434,6 +435,9 @@ def main(argv: list[str] | None = None) -> None:
     pr.add_argument("--model-filter", action="store_true",
                     help="also apply the distilled hashed-linear "
                     "quality model (functions/classify.py)")
+    pr.add_argument("--gopher", action="store_true",
+                    help="also apply the full published Gopher suite "
+                    "(rule flags A1.1 + repetition flags A1.2)")
     pr.add_argument("--min-distinct-ratio", type=int, default=330)
     pr.add_argument(
         "--policy", choices=["pairs", "clusters"], default="pairs",

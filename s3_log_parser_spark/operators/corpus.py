@@ -53,6 +53,7 @@ def corpus_prep(
     mode: str = "djb2",
     model_filter: bool = False,
     model_threshold: int = 0,
+    gopher_filter: bool = False,
 ) -> CorpusPrepResult:
     """Run the full corpus-prep DAG; returns the cleaned corpus and the
     per-source token-budget statistics.
@@ -78,6 +79,11 @@ def corpus_prep(
     hashed-linear quality model (functions/classify.py) scores ≥
     ``model_threshold`` — the model-based filter stage of a real
     pretraining recipe, at zero extra shuffles.
+
+    ``gopher_filter=True`` additionally applies the full published
+    Gopher heuristic suite (functions/text.py: rule flags A1.1 +
+    repetition flags A1.2) as a row-local predicate — also zero extra
+    shuffles (the flags compile into the same scan's projection).
     """
     if policy not in ("pairs", "clusters"):
         raise ValueError(f"corpus_prep: unknown policy {policy!r}")
@@ -126,6 +132,15 @@ def corpus_prep(
         # this deliberately does not follow the corpus `mode`
         clean = clean.filter(
             quality_model_label(text_col, model_threshold)
+        )
+    if gopher_filter:
+        # 3c) the published Gopher suite: rule flags (A1.1) +
+        # repetition flags (A1.2), both row-local Catalyst predicates
+        from ..functions.text import gopher_pass, gopher_repetition_flags
+
+        clean = clean.filter(
+            gopher_pass(text_col)
+            & gopher_repetition_flags(text_col)["repetition_pass"]
         )
 
     # 4) per-source token budget

@@ -200,3 +200,36 @@ def test_diff_cli_statuses_and_partitioned_sink(spark, tmp_path, capsys):
         d for d in os.listdir(out) if d.startswith("status=")
     ) == ["status=added", "status=changed", "status=removed",
           "status=unchanged"]
+
+
+def test_prep_cli_gopher_filter(spark, tmp_path):
+    """`prep --gopher` composes the full published Gopher suite into
+    the prep DAG: the filtered clean corpus is exactly the unfiltered
+    one minus docs failing any A1.1 rule or A1.2 repetition rule."""
+    docs_path = "/root/testdata/sf0.001/documents.parquet"
+    base_out = str(tmp_path / "base")
+    g_out = str(tmp_path / "gopher")
+    main(["--cores", "4", "prep", "-f", docs_path, "-o", base_out])
+    main(["--cores", "4", "prep", "-f", docs_path, "-o", g_out,
+          "--gopher"])
+    base = spark.read.parquet(f"{base_out}/clean")
+    filt = spark.read.parquet(f"{g_out}/clean")
+    base_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+    filt_ids = {r["doc_id"] for r in filt.select("doc_id").collect()}
+    assert filt_ids <= base_ids
+    from s3_log_parser_spark.functions.text import (
+        gopher_pass,
+        gopher_repetition_flags,
+    )
+
+    keep = {
+        r["doc_id"]: r["k"]
+        for r in base.select(
+            "doc_id",
+            (
+                gopher_pass("text")
+                & gopher_repetition_flags("text")["repetition_pass"]
+            ).alias("k"),
+        ).collect()
+    }
+    assert filt_ids == {i for i in base_ids if keep[i]}
