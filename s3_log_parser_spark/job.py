@@ -16,6 +16,8 @@ Subcommands:
   ingest   — streaming daily loop: new document files → audit gate →
              index dedup → accepted parquet + index append (+ optional
              HLL/CMS sketch maintenance over the accepted batch keys)
+  profile  — one-scan corpus data card (per-source docs / tokens /
+             chars / exact-unique / language mix / quality mass)
   diff     — snapshot diff between two corpus versions (dataset
              versioning: added/removed/changed/unchanged + churn)
   compact  — small-file maintenance pass over a parquet sink
@@ -346,6 +348,25 @@ def cmd_ingest(args) -> None:
           f"across {len(per_batch)} batches")
 
 
+def cmd_profile(args) -> None:
+    from .operators.corpus import corpus_profile
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    prof = corpus_profile(
+        docs, text_col=args.text_col, source_col=args.source_col
+    )
+    if args.output:
+        prof.write.mode("overwrite").parquet(args.output)
+        prof = spark.read.parquet(args.output)
+    rows = sorted(prof.collect(), key=lambda r: r["source"])
+    hdr = ("source", "n_docs", "sum_tokens", "sum_chars", "min_tokens",
+           "max_tokens", "n_unique", "n_en", "sum_quality_x1000")
+    print("\t".join(hdr))
+    for r in rows:
+        print("\t".join(str(r[c]) for c in hdr))
+
+
 def cmd_diff(args) -> None:
     from .operators.versioning import corpus_diff, corpus_diff_stats
 
@@ -508,6 +529,16 @@ def main(argv: list[str] | None = None) -> None:
                      help="Bloom sidecar size in bits (0 = none); "
                      "~10x expected distinct docs for ~1%% FP")
 
+    pf = sub.add_parser(
+        "profile",
+        help="one-scan corpus data card: per-source docs / tokens / "
+        "chars / exact-unique / language mix / quality mass",
+    )
+    pf.add_argument("-f", "--input", required=True)
+    pf.add_argument("-o", "--output", help="also write the rows here")
+    pf.add_argument("--text-col", default="text")
+    pf.add_argument("--source-col", default="source")
+
     dv = sub.add_parser(
         "diff",
         help="snapshot diff of two document corpus versions: per-id "
@@ -537,7 +568,8 @@ def main(argv: list[str] | None = None) -> None:
     args = p.parse_args(argv)
     {"gen": cmd_gen, "parse": cmd_parse, "extract": cmd_extract,
      "run": cmd_run, "prep": cmd_prep, "ingest": cmd_ingest,
-     "diff": cmd_diff, "compact": cmd_compact}[args.cmd](args)
+     "profile": cmd_profile, "diff": cmd_diff,
+     "compact": cmd_compact}[args.cmd](args)
 
 
 if __name__ == "__main__":

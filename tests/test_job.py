@@ -233,3 +233,21 @@ def test_prep_cli_gopher_filter(spark, tmp_path):
         ).collect()
     }
     assert filt_ids == {i for i in base_ids if keep[i]}
+
+
+def test_profile_cli_prints_data_card(spark, tmp_path, capsys):
+    out = str(tmp_path / "prof")
+    main(["--cores", "4", "profile",
+          "-f", "/root/testdata/sf0.001/documents.parquet", "-o", out])
+    printed = capsys.readouterr().out.strip().splitlines()
+    assert printed[0].split("\t")[0] == "source"
+    body = [ln.split("\t") for ln in printed[1:]]
+    assert len(body) >= 2  # multiple sources in the fixture corpus
+    # per-source invariants: n_unique <= n_docs, min <= max tokens
+    for row in body:
+        vals = dict(zip(printed[0].split("\t"), row))
+        assert int(vals["n_unique"]) <= int(vals["n_docs"])
+        assert int(vals["min_tokens"]) <= int(vals["max_tokens"])
+    # the parquet sink round-trips the same rows
+    back = spark.read.parquet(out)
+    assert back.count() == len(body)
