@@ -2487,6 +2487,7 @@ _DRIVER_PRIORITY = [
     "conv_examples_stats",
     "corpus_profile_by_source",
     "text_repetition_flags",
+    "importance_resample_topk",
     # the r4-green cohort, rotated back IN: their last driver-recorded
     # row is two rounds old (every one was also re-verified by the full
     # oracle sweep each round since)
@@ -4764,6 +4765,38 @@ def _rep_flags(spark, sf):
     return gdocs.select(
         "doc_id", *[c.cast("int").alias(k) for k, c in fl.items()]
     )
+
+
+@q(
+    "importance_resample_topk",
+    f"""
+    {_IMP_CTE}
+    , sc AS (
+      SELECT e.doc_id, CAST(SUM(wt.weight_x1000) AS BIGINT) AS imp_x1000
+      FROM e JOIN wt USING (bucket) GROUP BY e.doc_id
+    )
+    SELECT d.doc_id, d.source, sc.imp_x1000
+    FROM documents d JOIN sc ON sc.doc_id = d.doc_id
+    ORDER BY sc.imp_x1000 DESC, d.doc_id ASC LIMIT 50
+    """,
+)
+def _imp_resample(spark, sf):
+    # the resampling step of DSIR: deterministic top-k most target-like
+    # docs (score desc, id asc — TakeOrderedAndProject heaps, no full
+    # sort; the ≤k winner set broadcasts back onto the corpus rows)
+    from s3_log_parser_spark.operators.importance import (
+        bucket_weights,
+        importance_resample,
+    )
+
+    docs = _t(spark, sf, "documents")
+    w = bucket_weights(
+        docs, docs.filter(F.col("doc_id") % 7 == 0), n=2, buckets=512
+    )
+    top = importance_resample(
+        docs.select("doc_id", "source", "text"), w, k=50, n=2, buckets=512
+    )
+    return top.select("doc_id", "source", "imp_x1000")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
