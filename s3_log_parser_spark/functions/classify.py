@@ -59,8 +59,15 @@ def linear_score(
     ``weights`` (len = n_buckets) becomes a single array LITERAL in the
     plan; the fold adds ``weights[bucket]`` per token row-locally. The
     decision rule is ``score >= threshold`` — integer end to end, so
-    the DuckDB oracle reproduces it exactly in djb2 mode."""
-    w = F.lit(weights)
+    the DuckDB oracle reproduces it exactly in djb2 mode.
+
+    The literal is built with ONE ``F.expr`` call: ``F.lit(list)``
+    materializes a py4j Column per element, which for the 4096-bucket
+    table costs ~2.6 s of pure driver time PER CALL (measured r7 —
+    it was the bulk of quality_model_scores' bench seconds); parsing
+    one ``array(...)`` SQL string is milliseconds for the same plan
+    literal."""
+    w = F.expr(f"array({','.join(str(int(v)) for v in weights)})")
     buckets = token_buckets(col, len(weights), mode)
     return (
         F.aggregate(

@@ -326,18 +326,22 @@ def time_rollup(
     TimescaleDB/Druid-style rollup a log/metrics store serves
     dashboards from.
 
-    Scale shape — why not one GROUPING SETS pass: Catalyst implements
-    grouping sets with an ``Expand`` node that replicates every INPUT
-    row once per set, so a 3-tier rollup of a 100 TB scan pushes
-    300 TB of expanded rows into the partial aggregate. Here the raw
-    input is scanned ONCE and aggregated at the finest resolution
-    (map-side combine, one shuffle of ~|keys × minutes| rows); hour and
-    day tiers then re-aggregate that already-tiny result — the classic
-    continuous-aggregate hierarchy (week from day, month from day,
-    never from raw). ``persist_base`` pins the finest tier so the
-    derived tiers don't recompute the raw scan; at production scale
-    the base tier is a written table and each coarser tier reads the
-    previous one.
+    Scale shape — why not one GROUPING SETS pass over raw: Catalyst
+    implements grouping sets with an ``Expand`` node that replicates
+    every INPUT row once per set, so a 3-tier rollup of a 100 TB scan
+    pushes 300 TB of expanded rows into the partial aggregate. Here the
+    raw input is scanned ONCE and aggregated at the finest resolution
+    (map-side combine, one shuffle of ~|keys × minutes| rows); then ALL
+    tiers — including the finest, whose re-aggregation is the identity
+    — derive from that aggregate-sized base in ONE explode + hash
+    re-aggregate. Expanding the BASE is |keys × minutes| × n_tiers
+    rows, not raw × n_tiers, so the single-raw-scan property holds
+    with no cache at all (r7: the previous union-of-reaggregates shape
+    needed ``persist_base`` to avoid 3 raw scans, and the persist's
+    first-run materialization cost 3× the whole unpersisted query at
+    bench scale — 6.9 s vs 2.3 s). ``persist_base`` is retained for
+    API compatibility and ignored: the base now has exactly one
+    consumer.
 
     Sums are exact: ``value`` is scaled ×100 and summed as LONG (the
     repo's cross-engine rule — float summation order differs between
@@ -368,19 +372,35 @@ def time_rollup(
     base = df.groupBy(
         *kcols, F.date_trunc(resolutions[0], F.col(ts_col)).alias("_b")
     ).agg(*aggs)
-    if persist_base and len(resolutions) > 1:
-        base = base.persist()
     measure_cols = [c for c in base.columns if c not in (*keys, "_b")]
-    tiers = [base.withColumn("resolution", F.lit(resolutions[0]))]
-    for res in resolutions[1:]:
-        tiers.append(
-            base.groupBy(*kcols, F.date_trunc(res, F.col("_b")).alias("_b"))
-            .agg(*[F.sum(c).cast("long").alias(c) for c in measure_cols])
-            .withColumn("resolution", F.lit(res))
+    if len(resolutions) == 1:
+        out = base.withColumn("resolution", F.lit(resolutions[0]))
+    else:
+        # one explode of the tiny base into (resolution, bucket) rows,
+        # one hash re-aggregate: the finest tier's re-aggregation is
+        # the identity (its groups are singletons), coarser tiers sum
+        tier_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(res).alias("r"),
+                    F.date_trunc(res, F.col("_b")).alias("b"),
+                )
+                for res in resolutions
+            ]
         )
-    out = tiers[0]
-    for t in tiers[1:]:
-        out = out.unionByName(t)
+        out = (
+            base.select(
+                *kcols,
+                *[F.col(c) for c in measure_cols],
+                F.explode(tier_structs).alias("_t"),
+            )
+            .groupBy(
+                F.col("_t.r").alias("resolution"),
+                *kcols,
+                F.col("_t.b").alias("_b"),
+            )
+            .agg(*[F.sum(c).cast("long").alias(c) for c in measure_cols])
+        )
     # bucket_start as a formatted string: identical text both engines
     # (cross-engine timestamp hashing is representation-sensitive)
     return out.select(

@@ -177,9 +177,10 @@ def test_time_rollup_no_value_and_bad_resolution(spark):
 
 
 def test_time_rollup_single_raw_scan(spark):
-    # the coarse tiers must aggregate the (persisted) minute tier, not
-    # re-scan raw input: the plan shows ONE InMemoryTableScan per tier
-    # and no second parquet/LocalTableScan of the raw rows
+    # the coarse tiers must aggregate the minute-tier base, not re-scan
+    # raw input: exactly ONE scan of the raw rows in the whole plan
+    # (r7 shape: base → explode into (resolution, bucket) → one hash
+    # re-aggregate; no cache, no union of re-aggregations)
     from s3_log_parser_spark.operators.aggregate import time_rollup
 
     df = spark.createDataFrame(
@@ -188,7 +189,9 @@ def test_time_rollup_single_raw_scan(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     out = time_rollup(df)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "InMemoryTableScan" in plan
+    assert plan.count("Scan ExistingRDD") == 1
+    # and the tier fan-out happens on the aggregate-sized base
+    assert "Generate explode" in plan
 
 
 def test_time_rollup_merge_equals_full_recompute(spark):
