@@ -1,0 +1,201 @@
+"""Vectorized Arrow/numpy shingle-hash kernel (djb2 parity family).
+
+The pure-Catalyst shingle kernel (``operators.dedup.shingle_hashes``)
+is a higher-order expression chain — per character it allocates a
+one-char string (``split(col, '')``), evaluates ``ascii`` and a
+``pmod``, and per shingle it runs ``zip_with`` array allocations.
+Measured r7 at sf0.1 (5,000 docs, 270k tokens): 2.1 s for the n=3
+frame and 4.3 s for the n=8 frame per evaluation. This module computes
+the SAME values (bit-for-bit, pinned by tests) as one ``mapInArrow``
+stage whose inner loop is numpy over the flattened token stream —
+guide §4.2's "hand whole batches to vectorized native code" shape.
+The stage is map-side only (no shuffle, no cardinality change) and is
+projected to exactly the needed columns before the Python boundary.
+
+Semantics reproduced exactly:
+
+- tokenization: Spark ``split(trim(coalesce(text,'')), '\\s+')`` with
+  empty pieces dropped. Java's ``\\s`` is ASCII-only, so the Python
+  side splits with ``re.ASCII``; leading/trailing separators only ever
+  produce empty pieces, which are filtered just like the Catalyst form
+  (``trim`` is not needed for token equality).
+- token hash: DJB2 over CODEPOINTS (``djb2_expr`` parity — equal to
+  the byte fold for ASCII; the rare non-ASCII token takes a per-token
+  Python fallback with the same codepoint fold).
+- shingle hash: ``h = 5381; h = (h*33 + token_digest) mod 2^32`` over
+  each length-``n`` token window; rows with < n tokens fold over all
+  their tokens (empty text → the bare seed).
+- distinct with FIRST-OCCURRENCE order, matching ``array_distinct``.
+
+``SPARK_GRAFT_SHINGLE_IMPL=catalyst`` switches consumers back to the
+pure-Catalyst kernel (the cross-check path; parity is also pinned by
+tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import DJB2_SEED
+
+_WS = re.compile(r"\s+", re.ASCII)
+_M32 = 0xFFFFFFFF
+
+
+def arrow_kernel_enabled() -> bool:
+    return (
+        os.environ.get("SPARK_GRAFT_SHINGLE_IMPL", "arrow").lower()
+        != "catalyst"
+    )
+
+
+def _djb2_codepoints(s: str) -> int:
+    h = DJB2_SEED
+    for ch in s:
+        h = (h * 33 + ord(ch)) & _M32
+    return h
+
+
+def _hash_distinct_tokens(toks: "list[str]"):
+    """dict token → codepoint-DJB2, vectorized over the ASCII tokens
+    (one numpy multiply-add per character position across all tokens),
+    Python fallback per non-ASCII token."""
+    import numpy as np
+
+    if not toks:
+        return {}
+    ascii_toks = [t for t in toks if t.isascii()]
+    table: dict[str, int] = {}
+    if ascii_toks:
+        import pyarrow as pa
+
+        from .hashes import djb2_numpy
+
+        hs = djb2_numpy(pa.array(ascii_toks, type=pa.string()))
+        table.update(zip(ascii_toks, (int(v) for v in hs)))
+    for t in toks:
+        if t not in table:
+            table[t] = _djb2_codepoints(t)
+    return table
+
+
+def _shingle_rows(texts: "list[str | None]", n: int):
+    """per-row first-occurrence-distinct shingle hash arrays.
+
+    Returns (values int64 ndarray, offsets int64 ndarray) in Arrow
+    list layout."""
+    import numpy as np
+
+    # tokenize + per-batch distinct-token hash table
+    row_toks: list[list[str]] = []
+    distinct: dict[str, None] = {}
+    for s in texts:
+        tk = [t for t in _WS.split(s)] if s else []
+        tk = [t for t in tk if t]
+        row_toks.append(tk)
+        for t in tk:
+            if t not in distinct:
+                distinct[t] = None
+    table = _hash_distinct_tokens(list(distinct))
+
+    # flatten token hashes
+    lens = np.fromiter((len(tk) for tk in row_toks), dtype=np.int64,
+                       count=len(row_toks))
+    th_flat = np.fromiter(
+        (table[t] for tk in row_toks for t in tk),
+        dtype=np.uint64,
+        count=int(lens.sum()),
+    )
+    row_start = np.concatenate(([0], np.cumsum(lens)))
+
+    # windows: rows with >= n tokens contribute len-n+1 shingles
+    nwin = np.maximum(lens - (n - 1), 0)
+    # rows with 0 < len < n fold over ALL their tokens; len == 0 rows
+    # get the bare seed — both are the "short" path below
+    short = lens < n
+
+    # vectorized window fold
+    win_rows = np.repeat(np.arange(len(lens)), nwin)
+    if len(win_rows):
+        first_win = np.concatenate(([0], np.cumsum(nwin)))[:-1]
+        win_start = (
+            row_start[win_rows]
+            + (np.arange(len(win_rows)) - first_win[win_rows])
+        )
+        acc = np.full(len(win_rows), DJB2_SEED, dtype=np.uint64)
+        for k in range(n):
+            acc = (acc * np.uint64(33) + th_flat[win_start + k]) & np.uint64(
+                _M32
+            )
+    else:
+        acc = np.empty(0, dtype=np.uint64)
+
+    # assemble per-row arrays with first-occurrence distinct
+    out_vals: list[np.ndarray] = []
+    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    win_off = np.concatenate(([0], np.cumsum(nwin)))
+    for i in range(len(lens)):
+        if short[i]:
+            h = DJB2_SEED
+            for j in range(row_start[i], row_start[i] + lens[i]):
+                h = (h * 33 + int(th_flat[j])) & _M32
+            arr = np.array([h], dtype=np.int64)
+        else:
+            a = acc[win_off[i] : win_off[i + 1]].astype(np.int64)
+            _, idx = np.unique(a, return_index=True)
+            arr = a[np.sort(idx)]
+        out_vals.append(arr)
+        offsets[i + 1] = offsets[i] + len(arr)
+    values = (
+        np.concatenate(out_vals) if out_vals
+        else np.empty(0, dtype=np.int64)
+    )
+    return values, offsets
+
+
+def with_shingles(
+    df: DataFrame,
+    text_col: str,
+    n: int = 3,
+    keep: tuple[str, ...] = (),
+    out_col: str = "sh",
+) -> DataFrame:
+    """``df`` → ``(keep..., out_col array<long>)`` via one mapInArrow
+    stage (the vectorized djb2 shingle kernel). ``keep`` must name
+    existing columns of ``df``; only ``keep + [text_col]`` cross the
+    Python boundary."""
+    import pyarrow as pa
+
+    src = df.select(*keep, text_col)
+    fields = [src.schema[k] for k in keep]
+    out_schema = T.StructType(
+        [
+            *fields,
+            T.StructField(
+                out_col, T.ArrayType(T.LongType(), False), False
+            ),
+        ]
+    )
+
+    def fn(batches):
+        for batch in batches:
+            texts = batch.column(len(keep)).to_pylist()
+            values, offsets = _shingle_rows(texts, n)
+            sh = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(values, type=pa.int64()),
+            )
+            cols = [batch.column(i) for i in range(len(keep))] + [sh]
+            yield pa.RecordBatch.from_arrays(
+                cols, schema=pa.schema(
+                    [batch.schema.field(i) for i in range(len(keep))]
+                    + [pa.field(out_col, pa.list_(pa.int64()), False)]
+                )
+            )
+
+    return src.mapInArrow(fn, out_schema)

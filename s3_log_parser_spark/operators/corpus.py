@@ -6,8 +6,11 @@ actually runs over a raw document corpus before tokenization:
     exact dedup → near-dup removal → quality filter → token budgeting
 
 Each stage is an existing oracled operator; this module wires them into
-one lazy DAG (no intermediate actions — Catalyst sees the whole plan)
-and reports per-source corpus statistics. Every stage is deterministic
+one DAG with exactly two staged intermediates (r7: the exact-dedup
+winner frame and — inside the near-dup operator — the shingle frame
+are materialized once via eager local checkpoints, because every
+downstream branch consumes them and Catalyst otherwise re-runs the
+window/kernel per branch) and reports per-source corpus statistics. Every stage is deterministic
 and cross-engine exact, so the complete composition has a DuckDB
 oracle (driver query ``corpus_prep_stats``).
 
@@ -87,8 +90,15 @@ def corpus_prep(
     """
     if policy not in ("pairs", "clusters"):
         raise ValueError(f"corpus_prep: unknown policy {policy!r}")
-    # 1) exact dedup — lowest id wins, group size kept as dup_count
-    exact = exact_dedup(df, key_cols=(text_col,), order=(id_col,))
+    # 1) exact dedup — lowest id wins, group size kept as dup_count.
+    # Materialized once (eager local checkpoint, r7): the near-dup
+    # stage, the anti-join and the quality/stats stage each consume it,
+    # and without the checkpoint Catalyst re-runs the md5-window winner
+    # per branch. At 100 TB this is the staged-intermediate the module
+    # docstring already prescribes for the shingle frame.
+    exact = exact_dedup(df, key_cols=(text_col,), order=(id_col,)).localCheckpoint(
+        eager=True
+    )
 
     # 2) near-dup removal — LSH-banded candidates, exact Jaccard verify
     pairs = ngram_jaccard_pairs(

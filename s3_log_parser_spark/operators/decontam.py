@@ -36,14 +36,30 @@ def contamination_hits(
     shingle hash family (same policy as the dedup suite: ``djb2`` is
     the oracle-parity family, ``xxhash64`` the 64-bit codegen
     production family — both sides must use the same one)."""
-    bench = (
-        benchmark.select(
-            F.explode(shingle_hashes(text_col, n, mode)).alias("h")
-        ).distinct()
-    )
-    post = docs.select(
-        F.col(id_col), F.explode(shingle_hashes(text_col, n, mode)).alias("h")
-    )
+    from ..functions.shingles_arrow import arrow_kernel_enabled, with_shingles
+
+    if mode == "djb2" and arrow_kernel_enabled():
+        # vectorized Arrow shingle kernel (bit-exact; the Catalyst
+        # n=8 expression chain alone cost 4.3 s/evaluation at sf0.1)
+        bench = (
+            with_shingles(benchmark.select(text_col), text_col, n)
+            .select(F.explode("sh").alias("h"))
+            .distinct()
+        )
+        post = with_shingles(
+            docs.select(F.col(id_col), F.col(text_col)),
+            text_col, n, keep=(id_col,),
+        ).select(F.col(id_col), F.explode("sh").alias("h"))
+    else:
+        bench = (
+            benchmark.select(
+                F.explode(shingle_hashes(text_col, n, mode)).alias("h")
+            ).distinct()
+        )
+        post = docs.select(
+            F.col(id_col),
+            F.explode(shingle_hashes(text_col, n, mode)).alias("h"),
+        )
     return (
         post.join(F.broadcast(bench), "h")
         .groupBy(id_col)

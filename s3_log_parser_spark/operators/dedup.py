@@ -161,7 +161,19 @@ def shingle_frame(
     does not apply across different shuffle keys), so a production run
     stages THIS frame once (parquet / catalog checkpoint) and feeds it
     to :func:`jaccard_pairs_from_index` / :func:`incremental_dedup` via
-    :func:`build_dedup_index` instead of recomputing per branch."""
+    :func:`build_dedup_index` instead of recomputing per branch.
+
+    djb2 mode runs the vectorized Arrow kernel by default (bit-exact
+    values, ~3-12× the Catalyst expression chain — see
+    functions/shingles_arrow.py); ``SPARK_GRAFT_SHINGLE_IMPL=catalyst``
+    restores the pure-Catalyst form."""
+    from ..functions.shingles_arrow import arrow_kernel_enabled, with_shingles
+
+    if mode == "djb2" and arrow_kernel_enabled():
+        return with_shingles(
+            df.select(F.col(id_col).alias("id"), F.col(text_col)),
+            text_col, n, keep=("id",),
+        ).withColumn("sz", F.size("sh"))
     return df.select(
         F.col(id_col).alias("id"),
         shingle_hashes(text_col, n, mode).alias("sh"),
@@ -213,10 +225,21 @@ def minhash_signatures_df(
     # xxhash64's full-range int64 it keeps a*h inside long range (a
     # plain a*h overflows and THROWS under ANSI mode; the non-ANSI
     # wrapped product was silently relying on overflow)
-    hs = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingle_hashes(text_col, n, mode)).alias("_h0"),
-    ).select("id", F.pmod(F.col("_h0"), F.lit(MINHASH_P)).alias("h"))
+    return _sigs_from_shingle_frame(
+        shingle_frame(df, id_col, text_col, n, mode).select("id", "sh"), k
+    )
+
+
+def _sigs_from_shingle_frame(hdf: DataFrame, k: int = 8) -> DataFrame:
+    """MinHash signatures from an ``(id, sh)`` shingle frame — the
+    shared tail of :func:`minhash_signatures_df`, split out so callers
+    that already hold a MATERIALIZED shingle frame (the r7 shared-
+    kernel paths) derive signatures without re-running the shingle
+    kernel. Values are identical to the from-text form: same explode,
+    same pre-reduction, same K mins."""
+    hs = hdf.select("id", F.explode("sh").alias("_h0")).select(
+        "id", F.pmod(F.col("_h0"), F.lit(MINHASH_P)).alias("h")
+    )
     aggs = []
     for i in range(k):
         a, b = 2 * i + 1, i * i + 7
@@ -258,11 +281,17 @@ def minhash_candidates(
     k: int = 8,
     rows_per_band: int = 2,
     mode: str = "djb2",
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band signature become candidate
     pairs (id_a < id_b). Returns distinct pairs. ``mode`` selects the
-    shingle hash family (see :func:`shingle_hashes`)."""
-    sdf = minhash_signatures_df(df, id_col, text_col, n, k, mode)
+    shingle hash family (see :func:`shingle_hashes`). ``shingle_df``
+    (an ``(id, sh)`` frame, typically materialized once by the caller)
+    skips re-running the shingle kernel — identical signatures."""
+    if shingle_df is not None:
+        sdf = _sigs_from_shingle_frame(shingle_df, k)
+    else:
+        sdf = minhash_signatures_df(df, id_col, text_col, n, k, mode)
     exploded = _minhash_bands(sdf, k, rows_per_band)
     a, bdf = exploded.alias("a"), exploded.alias("b")
     pairs = (
@@ -351,13 +380,40 @@ def ngram_jaccard_pairs(
     Pass ``max_df=None`` explicitly for exact-at-any-size, or an int to
     choose the cap.
     """
-    hdf = df.select(
-        F.col(id_col).alias("id"),
-        *( [F.col(group_col).alias("grp")] if group_col else [] ),
-        shingle_hashes(text_col, n, mode).alias("sh"),
-    ).withColumn("sz", F.size(F.col("sh")))
+    from ..functions.shingles_arrow import arrow_kernel_enabled, with_shingles
+
+    if mode == "djb2" and arrow_kernel_enabled():
+        hdf = with_shingles(
+            df.select(
+                F.col(id_col).alias("id"),
+                *( [F.col(group_col).alias("grp")] if group_col else [] ),
+                F.col(text_col),
+            ),
+            text_col, n,
+            keep=("id", "grp") if group_col else ("id",),
+        ).withColumn("sz", F.size(F.col("sh")))
+    else:
+        hdf = df.select(
+            F.col(id_col).alias("id"),
+            *( [F.col(group_col).alias("grp")] if group_col else [] ),
+            shingle_hashes(text_col, n, mode).alias("sh"),
+        ).withColumn("sz", F.size(F.col("sh")))
+    # Materialize the shingle frame ONCE (eager local checkpoint): the
+    # banding/index/verify branches below each consume it, and Catalyst
+    # re-inlines the shingle kernel per branch (project collapse;
+    # exchange reuse does not apply across different shuffle keys) —
+    # measured 3 kernel evaluations per query before r7. This is the
+    # in-query form of the documented production practice (stage the
+    # shingle frame, feed it to jaccard_pairs_from_index). Skipped for
+    # the guarded small pairwise path, which reads hdf only twice and
+    # stays fully lazy; the index path checkpoints after its size
+    # probes so an over-limit input still raises before materializing.
     if group_col is None and auto_block:
-        cand = minhash_candidates(df, id_col, text_col, n=n, mode=mode)
+        hdf = hdf.localCheckpoint(eager=True)
+        cand = minhash_candidates(
+            df, id_col, text_col, n=n, mode=mode,
+            shingle_df=hdf.select("id", "sh"),
+        )
         return (
             cand.join(hdf.select(F.col("id").alias("id_a"),
                                  F.col("sh").alias("_sh_a"),
@@ -407,7 +463,10 @@ def ngram_jaccard_pairs(
                 else:
                     max_df = None
         return _jaccard_index_join(
-            hdf, bool(group_col), threshold_x1000, max_df=max_df
+            hdf.localCheckpoint(eager=True),
+            bool(group_col),
+            threshold_x1000,
+            max_df=max_df,
         )
     a, b = hdf.alias("a"), hdf.alias("b")
     cond = F.col("a.id") < F.col("b.id")
@@ -436,11 +495,11 @@ def jaccard_pairs_from_index(
     (``(id, sh, sz)`` as produced by :func:`shingle_frame`, optionally
     plus a blocking column) — the persisted-postings seam for 100 TB
     runs (VERDICT r4 next #2). ``_jaccard_index_join`` reads its input
-    three times (both self-join sides + the sizes branch); when the
-    input is a staged parquet table those are three columnar scans,
-    whereas the inline form recomputes the shingle kernel per branch.
-    Build once, persist via the catalog checkpoint, reuse across
-    batches."""
+    twice (the two self-join sides; sizes ride the postings since r7);
+    when the input is a staged parquet table those are two columnar
+    scans, whereas the inline form recomputes the shingle kernel per
+    branch. Build once, persist via the catalog checkpoint, reuse
+    across batches."""
     hdf = shingle_df
     if group_col is not None and group_col != "grp":
         hdf = hdf.withColumnRenamed(group_col, "grp")
@@ -478,8 +537,13 @@ def _jaccard_index_join(
     parquet / catalog checkpoint) and feed it back through
     :func:`jaccard_pairs_from_index`, the same way every production
     set-similarity pipeline stages its inverted index."""
+    # sz rides the postings (one extra int per posting row): the pair
+    # aggregate below groups on (id_a, id_b, sz_a, sz_b) — sz is
+    # functionally determined by the id, so the groups are unchanged —
+    # and the two id→size equi-joins of the pre-r7 shape disappear
+    # (plan: 3 joins → 1 self-join).
     post = hdf.select(
-        "id", *( ["grp"] if grouped else [] ), F.explode("sh").alias("h")
+        "id", "sz", *( ["grp"] if grouped else [] ), F.explode("sh").alias("h")
     )
     if max_df is not None:
         # stop-shingle guard: drop postings whose document frequency
@@ -503,16 +567,16 @@ def _jaccard_index_join(
         cond = cond & (F.col("a.grp") == F.col("b.grp"))
     inter = (
         a.join(b, cond)
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("_sz_a"),
+            F.col("b.sz").alias("_sz_b"),
+        )
         .agg(F.count("*").alias("_inter"))
     )
-    sizes = hdf.select("id", "sz")
     return (
-        inter.join(sizes.withColumnRenamed("id", "id_a")
-                        .withColumnRenamed("sz", "_sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b")
-                   .withColumnRenamed("sz", "_sz_b"), "id_b")
-        .select(
+        inter.select(
             "id_a", "id_b",
             F.floor(
                 F.col("_inter") * 1000
@@ -986,9 +1050,24 @@ def dup_clusters(
     generous backstop; a graph that somehow still hasn't converged
     raises rather than returning a partial closure.
     """
-    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # both edge directions from ONE evaluation of the (often expensive)
+    # pair plan: explode each pair into (src,dst) and (dst,src) rather
+    # than unioning two scans of the pair subtree (r7 — the union form
+    # ran the candidate+verify joins twice inside the first job)
     edges = (
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
         .distinct()
         .persist()
     )
@@ -1168,15 +1247,23 @@ def build_dedup_index(
     bloom_k: int = 5,
     rows_per_band: int = 2,
 ) -> DedupIndex:
-    """derive the index frames from an accepted corpus (lazy — persist
-    with :func:`write_dedup_index` / the catalog checkpoint).
+    """derive the index frames from an accepted corpus (the shingle
+    frame is materialized eagerly — one kernel pass — and the other
+    frames derive from it; persist durably with
+    :func:`write_dedup_index` / the catalog checkpoint).
     ``bloom_m_bits > 0`` adds the two Bloom sidecars (size the bits at
     ~10× the expected distinct-doc count for ~1% false positives)."""
     from .bloom import bloom_build
 
     digest = F.md5(F.lower(F.trim(F.col(text_col))))
     digests = df.select(digest.alias("_dig")).distinct()
-    sigs = minhash_signatures_df(df, id_col, text_col, n, k, mode)
+    # one materialized shingle frame feeds BOTH the signature and the
+    # shingles tables (r7): the pre-split form ran the shingle kernel
+    # once per consumer (sigs write + shingles write + any live use)
+    sh = shingle_frame(df, id_col, text_col, n, mode).localCheckpoint(
+        eager=True
+    )
+    sigs = _sigs_from_shingle_frame(sh, k)
     blm = bands = None
     if bloom_m_bits:
         blm = bloom_build(digests, "_dig", bloom_m_bits, bloom_k, mode)
@@ -1188,7 +1275,7 @@ def build_dedup_index(
     return DedupIndex(
         digests=digests,
         sigs=sigs,
-        shingles=shingle_frame(df, id_col, text_col, n, mode),
+        shingles=sh,
         n=n, k=k, mode=mode,
         bloom=blm, bands_bloom=bands,
         bloom_m=bloom_m_bits if blm is not None else 0,
@@ -1396,9 +1483,14 @@ def incremental_dedup(
         survivors = keyed.join(index.digests, "_dig", "left_anti").drop("_dig")
     if not near:
         return survivors
+    # one materialized shingle frame for the batch side (r7): both the
+    # band signatures and the exact-Jaccard verify leg consume it, so
+    # the shingle kernel runs once over the survivors instead of twice
+    surv_sh = shingle_frame(
+        survivors, id_col, text_col, n, mode
+    ).localCheckpoint(eager=True)
     new_bands = _minhash_bands(
-        minhash_signatures_df(survivors, id_col, text_col, n, k, mode),
-        k, rows_per_band,
+        _sigs_from_shingle_frame(surv_sh, k), k, rows_per_band
     )
     seen_bands = _minhash_bands(index.sigs, k, rows_per_band)
     if index.bands_bloom is not None:
@@ -1431,7 +1523,7 @@ def incremental_dedup(
         .distinct()
     )
     nh = (
-        shingle_frame(survivors, id_col, text_col, n, mode)
+        surv_sh
         .withColumnRenamed("id", "new_id")
         .withColumnRenamed("sh", "_sh_a")
         .withColumnRenamed("sz", "_sz_a")

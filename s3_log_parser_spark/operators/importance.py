@@ -54,6 +54,34 @@ def ngram_buckets(
     )
 
 
+def _bucket_frame(
+    df: DataFrame,
+    text_col: str,
+    n: int,
+    buckets: int,
+    mode: str,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """``(keep..., bucket)`` exploded distinct-bucket rows — routed
+    through the vectorized Arrow shingle kernel in djb2 mode (bit-exact
+    values; the bucket fold on the small ``sh`` arrays stays Catalyst),
+    the pure-Catalyst column form otherwise."""
+    from ..functions.shingles_arrow import arrow_kernel_enabled, with_shingles
+
+    if mode == "djb2" and arrow_kernel_enabled():
+        sh = with_shingles(
+            df.select(*keep, F.col(text_col)), text_col, n, keep=keep
+        )
+        bkts = F.array_distinct(
+            F.transform(F.col("sh"), lambda h: F.pmod(h, F.lit(buckets)))
+        )
+        return sh.select(*keep, F.explode(bkts).alias("bucket"))
+    return df.select(
+        *keep,
+        F.explode(ngram_buckets(text_col, n, buckets, mode)).alias("bucket"),
+    )
+
+
 def bucket_weights(
     raw: DataFrame,
     target: DataFrame,
@@ -77,10 +105,8 @@ def bucket_weights(
     smoothed (0+1)/(0+1) ratio) at lookup time."""
 
     def _tagged(df: DataFrame, rc: int, tc: int) -> DataFrame:
-        return df.select(
-            F.explode(ngram_buckets(text_col, n, buckets, mode)).alias(
-                "bucket"
-            ),
+        return _bucket_frame(df, text_col, n, buckets, mode).select(
+            "bucket",
             F.lit(rc).alias("_r"),
             F.lit(tc).alias("_t"),
         )
@@ -125,10 +151,7 @@ def importance_scores(
     ≤ ``buckets``-row weight table → hash re-aggregate on the doc id.
     No sort, no corpus-sized shuffle beyond the id re-aggregate."""
     wcol = f"weight_x{scale}"
-    b = df.select(
-        F.col(id_col),
-        F.explode(ngram_buckets(text_col, n, buckets, mode)).alias("bucket"),
-    )
+    b = _bucket_frame(df, text_col, n, buckets, mode, keep=(id_col,))
     j = b.join(
         F.broadcast(weights.select("bucket", wcol)), "bucket", "left"
     )

@@ -117,11 +117,14 @@ def test_semantic_dedup_no_corpus_broadcast_no_cartesian(spark):
 def test_importance_scores_broadcast_weights_never_sortmerge(spark):
     # the ≤buckets-row weight table must reach the corpus as a
     # BroadcastHashJoin; a SortMergeJoin here would shuffle the whole
-    # corpus on the bucket key at 100 TB
+    # corpus on the bucket key at 100 TB. The shingle kernel is the
+    # vectorized Arrow stage since r7 (MapInArrow, map-side only, no
+    # shuffle) — what must stay absent is any row-at-a-time UDF.
     plan = _plan(entry.queries()["importance_doc_scores"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    assert "Python" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
 
 
 def test_gopher_flags_pure_catalyst_one_scan(spark):
