@@ -1284,26 +1284,49 @@ def build_dedup_index(
     )
 
 
+def _write_index_tables(writes: "list[tuple[DataFrame, str, str]]") -> None:
+    """run independent (df, path, mode) parquet writes CONCURRENTLY
+    from a small thread pool (guide §2.6): the index tables are
+    independent jobs, and each tiny write pays ~1 s of fixed
+    shuffle-stage + commit overhead when run back-to-back — overlapped,
+    the wall cost is the slowest single write. Threads share the
+    session; each ``.write`` blocks its own thread only."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(args):
+        df, path, mode = args
+        df.write.mode(mode).parquet(path)
+
+    with ThreadPoolExecutor(max_workers=min(4, len(writes))) as ex:
+        for f in [ex.submit(one, w) for w in writes]:
+            f.result()
+
+
 def write_dedup_index(index: DedupIndex, path: str) -> None:
     """materialize an index to ``{path}/{digests,sigs,shingles,meta}``
     parquet tables (meta pins n/k/mode so a reader can't silently mix
     hash families). Appending a day's accepted docs = appending their
-    three frames to these tables."""
-    index.digests.write.mode("overwrite").parquet(f"{path}/digests")
-    index.sigs.write.mode("overwrite").parquet(f"{path}/sigs")
-    index.shingles.write.mode("overwrite").parquet(f"{path}/shingles")
-    if index.bloom is not None:
-        index.bloom.write.mode("overwrite").parquet(f"{path}/bloom")
-        index.bands_bloom.write.mode("overwrite").parquet(
-            f"{path}/bands_bloom"
-        )
+    three frames to these tables. The table writes are independent and
+    run concurrently (see :func:`_write_index_tables`)."""
     spark = index.digests.sparkSession
-    spark.createDataFrame(
+    meta = spark.createDataFrame(
         [(index.n, index.k, index.mode, index.bloom_m, index.bloom_k,
           index.rows_per_band)],
         "n int, k int, mode string, bloom_m long, bloom_k int, "
         "rows_per_band int",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    ).coalesce(1)
+    writes = [
+        (index.digests, f"{path}/digests", "overwrite"),
+        (index.sigs, f"{path}/sigs", "overwrite"),
+        (index.shingles, f"{path}/shingles", "overwrite"),
+        (meta, f"{path}/meta", "overwrite"),
+    ]
+    if index.bloom is not None:
+        writes += [
+            (index.bloom, f"{path}/bloom", "overwrite"),
+            (index.bands_bloom, f"{path}/bands_bloom", "overwrite"),
+        ]
+    _write_index_tables(writes)
 
 
 def compact_dedup_index(spark, path: str) -> None:
@@ -1394,13 +1417,18 @@ def append_to_dedup_index(
         bloom_k=meta.get("bloom_k") or 5,
         rows_per_band=meta.get("rows_per_band") or 2,
     )
-    inc.digests.write.mode("append").parquet(f"{path}/digests")
-    inc.sigs.write.mode("append").parquet(f"{path}/sigs")
-    inc.shingles.write.mode("append").parquet(f"{path}/shingles")
+    writes = [
+        (inc.digests, f"{path}/digests", "append"),
+        (inc.sigs, f"{path}/sigs", "append"),
+        (inc.shingles, f"{path}/shingles", "append"),
+    ]
     if inc.bloom is not None:
         # appended as fragments; read_dedup_index ORs them back together
-        inc.bloom.write.mode("append").parquet(f"{path}/bloom")
-        inc.bands_bloom.write.mode("append").parquet(f"{path}/bands_bloom")
+        writes += [
+            (inc.bloom, f"{path}/bloom", "append"),
+            (inc.bands_bloom, f"{path}/bands_bloom", "append"),
+        ]
+    _write_index_tables(writes)
 
 
 def incremental_dedup(

@@ -164,15 +164,43 @@ def enrich_broadcast(
     return _platform_cols(df)
 
 
-def enrich_role_tool(df: DataFrame) -> DataFrame:
+def enrich_role_tool(df: DataFrame, method: str = "broadcast") -> DataFrame:
     """North-star broadcast-hash-join enrichment of the role/tool
     dimensions — equi-join keys → BroadcastHashJoinExec, zero shuffle
     on the fact side. The ``tool_hash`` from the dim doubles as a
     precomputed DJB2 (golden values, FIXTURES.md §2), avoiding the UDF
     for the dictionary-encoded tool column entirely.
-    """
-    from ..schemas import role_dim, tool_dim
 
+    ``method="expr"`` (r7, the pipeline's default): the dims are
+    compile-time-constant tables (3 roles, 20 tools), so the left join
+    collapses to CASE-WHEN lookups — identical columns and values
+    (NULL for unmatched keys, like the left join), but zero
+    BroadcastExchange stages. Each broadcast build cost ~0.5 s of
+    fixed per-run driver/collect work; data-driven dims that are not
+    plan-time constants still take the broadcast path.
+    """
+    from ..schemas import ROLES, TOOL_NAMES, role_dim, tool_dim
+
+    if method == "expr":
+        from ..functions.hashes import djb2_py
+
+        role = F.col("role")
+        role_id = F.lit(None).cast("int")
+        for i, r in enumerate(ROLES):
+            role_id = F.when(role == r, F.lit(i + 1)).otherwise(role_id)
+        tool = F.col("tool")
+        tool_id = F.lit(None).cast("int")
+        tool_hash = F.lit(None).cast("long")
+        for i, t in enumerate(TOOL_NAMES):
+            tool_id = F.when(tool == t, F.lit(i)).otherwise(tool_id)
+            tool_hash = F.when(tool == t, F.lit(djb2_py(t))).otherwise(
+                tool_hash
+            )
+        return (
+            df.withColumn("role_id", role_id.cast("int"))
+            .withColumn("tool_id", tool_id.cast("int"))
+            .withColumn("tool_dim_hash", tool_hash.cast("long"))
+        )
     spark = df.sparkSession
     df = df.join(F.broadcast(role_dim(spark)), "role", "left")
     df = df.join(

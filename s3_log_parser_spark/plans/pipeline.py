@@ -87,7 +87,11 @@ def build_slim(
     # broadcast joins on the post-shuffle side instead (broadcast hash
     # joins are position-independent; column values are unchanged)
     df = with_flags(df)
-    df = enrich_role_tool(df)
+    # r7: the role/tool dims are plan-time constants, so the pipeline
+    # uses the CASE-WHEN lookup form — same columns/values as the left
+    # broadcast join (parity-pinned in tests), zero BroadcastExchange
+    # stages per run
+    df = enrich_role_tool(df, method="expr")
     return df.select(*SLIM_COLUMNS)
 
 

@@ -82,3 +82,37 @@ def test_broadcast_plan_is_broadcast(spark):
     )
     plan = enrich_role_tool(df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_role_tool_expr_matches_broadcast_join(spark):
+    """r7: the CASE-WHEN dim lookup (pipeline default) must equal the
+    left broadcast join row-for-row, including NULL and unknown keys
+    (→ NULL ids, the left-join contract), with zero broadcasts."""
+    from s3_log_parser_spark.operators.enrich import enrich_role_tool
+
+    df = spark.createDataFrame(
+        [
+            ("user", "tech-talk"),
+            ("assistant", "finance-focus"),
+            ("tool", "gaming-news"),
+            (None, None),
+            ("narrator", "unknown-tool"),
+        ],
+        "role string, tool string",
+    )
+    cols = ["role", "tool", "role_id", "tool_id", "tool_dim_hash"]
+    bc = {
+        tuple(r) for r in enrich_role_tool(df).select(*cols).collect()
+    }
+    ex = {
+        tuple(r)
+        for r in enrich_role_tool(df, method="expr").select(*cols).collect()
+    }
+    assert bc == ex
+    plan = (
+        enrich_role_tool(df, method="expr")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" not in plan and "Join" not in plan
