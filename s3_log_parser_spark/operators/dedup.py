@@ -887,16 +887,27 @@ def embedding_near_dups_bucketed(
     distinct pass needed. Neither side is broadcast and no all-pairs
     comparison happens: cost drops from O(N²) to O(Σ bucket²) with
     2^n_planes buckets (raise ``n_planes`` with corpus size; buckets
-    are sign-hash-distributed, so the join shuffle is uniform).
+    are sign-hash-distributed, so the shuffle is uniform).
+
+    r7 shape: scoring runs as a COGROUPED applyInPandas on the bucket
+    key instead of an equi-join feeding a pair-row UDF. The join form
+    materialized one Arrow row PER CANDIDATE PAIR carrying both full
+    vectors (660k pairs × 2×64 doubles ≈ 650 MB across the Python
+    boundary at sf0.1); cogrouping ships each vector once per probe —
+    O(rows), not O(pairs) — and forms the pair matrix inside numpy.
+    Per-pair arithmetic is the identical fold-left dim loop
+    (bit-identical scores, parity-pinned in tests). Per-bucket task
+    cost stays O(bucket²) — the same asymptotic work the join form did,
+    minus the pair-row serialization.
     """
-    from ..functions.vectors import as_double, dot_pre, norm_pre
+    import numpy as np
+    import pandas as pd
+
     from .similarity import with_lsh_bucket
 
     v = with_lsh_bucket(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
         "v", n_planes, dim,
-    ).withColumn("v", as_double(F.col("v"))).withColumn(
-        "nrm", norm_pre(F.col("v"))
     )
     probes = [F.col("lsh_bucket")]
     if probe_radius >= 1:
@@ -904,20 +915,84 @@ def embedding_near_dups_bucketed(
             F.col("lsh_bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)
         ]
     a = v.withColumn("probe", F.explode(F.array(*probes))).drop("lsh_bucket")
-    b = v.withColumnRenamed("lsh_bucket", "probe")
-    a, b = a.alias("a"), b.alias("b")
-    from ..functions.vectors import cos_x1m_pairs
+    # fresh aliases on the right side: both sides derive from the same
+    # plan, and a self-cogroup with shared attribute ids loses the
+    # right side's non-key columns (observed: right pdf arrived with
+    # only the grouping key)
+    b = v.select(
+        F.col("id").alias("id_r"),
+        F.col("v").alias("v_r"),
+        F.col("lsh_bucket").alias("probe"),
+    )
+
+    def score(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64"),
+             "cosine_x1m": pd.Series(dtype="int64")}
+        )
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        out_a: list = []
+        out_b: list = []
+        out_c: list = []
+        # one dense matrix per vector LENGTH per side: mismatched or
+        # NULL vectors scored NULL in the pairwise form (zip_with
+        # padding) and were threshold-dropped — here they simply never
+        # pair (identical survivors)
+        def groups(pdf):
+            g: dict[int, tuple] = {}
+            idc, vc = pdf.columns[0], pdf.columns[1]
+            ids_ok = []
+            for rid, vec in zip(pdf[idc], pdf[vc]):
+                if vec is None:
+                    continue
+                ids_ok.append((len(vec), rid, vec))
+            by_len: dict[int, list] = {}
+            for ln, rid, vec in ids_ok:
+                by_len.setdefault(ln, []).append((rid, vec))
+            for ln, rows in by_len.items():
+                ids = np.array([r[0] for r in rows], dtype=np.int64)
+                mat = np.array([r[1] for r in rows], dtype=np.float64)
+                # fold-left norms (index order — matches norm_pre)
+                nrm = np.zeros(len(ids), dtype=np.float64)
+                for d in range(ln):
+                    nrm = nrm + mat[:, d] * mat[:, d]
+                g[ln] = (ids, mat, np.sqrt(nrm))
+            return g
+        ga, gb = groups(left), groups(right)
+        for ln, (ia, ma, na) in ga.items():
+            gbv = gb.get(ln)
+            if gbv is None:
+                continue
+            ib, mb, nb = gbv
+            # fold-left over the dim axis across ALL pairs at once —
+            # per pair this is the same add sequence as cos_x1m_pairs
+            acc = np.zeros((len(ia), len(ib)), dtype=np.float64)
+            for d in range(ln):
+                acc = acc + ma[:, d][:, None] * mb[:, d][None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.floor(acc / (na[:, None] * nb[None, :]) * 1_000_000)
+            hit = (
+                np.isfinite(cos)
+                & (cos >= threshold_x1m)
+                & (ia[:, None] < ib[None, :])
+            )
+            ra, rb = np.nonzero(hit)
+            if len(ra):
+                out_a.extend(ia[ra].tolist())
+                out_b.extend(ib[rb].tolist())
+                out_c.extend(cos[ra, rb].astype(np.int64).tolist())
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {"id_a": out_a, "id_b": out_b, "cosine_x1m": out_c}
+        ).astype("int64")
 
     return (
-        a.join(b, (F.col("a.probe") == F.col("b.probe")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            cos_x1m_pairs(
-                F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
-            ).alias("cosine_x1m"),
-        )
-        .filter(F.col("cosine_x1m") >= threshold_x1m)
+        a.groupBy("probe")
+        .cogroup(b.groupBy("probe"))
+        .applyInPandas(score, "id_a long, id_b long, cosine_x1m long")
     )
 
 
