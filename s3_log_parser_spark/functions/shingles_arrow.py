@@ -91,26 +91,7 @@ def _shingle_rows(texts: "list[str | None]", n: int):
     list layout."""
     import numpy as np
 
-    # tokenize + per-batch distinct-token hash table
-    row_toks: list[list[str]] = []
-    distinct: dict[str, None] = {}
-    for s in texts:
-        tk = [t for t in _WS.split(s)] if s else []
-        tk = [t for t in tk if t]
-        row_toks.append(tk)
-        for t in tk:
-            if t not in distinct:
-                distinct[t] = None
-    table = _hash_distinct_tokens(list(distinct))
-
-    # flatten token hashes
-    lens = np.fromiter((len(tk) for tk in row_toks), dtype=np.int64,
-                       count=len(row_toks))
-    th_flat = np.fromiter(
-        (table[t] for tk in row_toks for t in tk),
-        dtype=np.uint64,
-        count=int(lens.sum()),
-    )
+    th_flat, lens = _tokenize_and_hash(texts)
     row_start = np.concatenate(([0], np.cumsum(lens)))
 
     # windows: rows with >= n tokens contribute len-n+1 shingles
@@ -156,6 +137,94 @@ def _shingle_rows(texts: "list[str | None]", n: int):
         else np.empty(0, dtype=np.int64)
     )
     return values, offsets
+
+
+def _tokenize_and_hash(texts: "list[str | None]"):
+    """flat per-occurrence token DJB2s + row lengths (shared tokenizer
+    + distinct-token hash table)."""
+    import numpy as np
+
+    row_toks: list[list[str]] = []
+    distinct: dict[str, None] = {}
+    for s in texts:
+        tk = [t for t in _WS.split(s)] if s else []
+        tk = [t for t in tk if t]
+        row_toks.append(tk)
+        for t in tk:
+            if t not in distinct:
+                distinct[t] = None
+    table = _hash_distinct_tokens(list(distinct))
+    lens = np.fromiter(
+        (len(tk) for tk in row_toks), dtype=np.int64, count=len(row_toks)
+    )
+    th_flat = np.fromiter(
+        (table[t] for tk in row_toks for t in tk),
+        dtype=np.uint64,
+        count=int(lens.sum()),
+    )
+    return th_flat, lens
+
+
+_MINHASH_P = 4294967311  # smallest prime > 2^32 (dedup.MINHASH_P)
+
+
+def _simhash_rows(texts: "list[str | None]", bits: int):
+    """per-row B-bit SimHash over whitespace-token DJB2 digests —
+    integer-exact mirror of ``operators.dedup.simhash_df``: bit j set
+    when Σ_tokens (2·(((2j+1)·h + j²+7) mod P mod 2) − 1) > 0; bit 63
+    is the two's-complement sign bit (uint64 build, int64 view)."""
+    import numpy as np
+
+    th_flat, lens = _tokenize_and_hash(texts)
+    starts = np.concatenate(([0], np.cumsum(lens)))
+    out = np.zeros(len(lens), dtype=np.uint64)
+    P = np.uint64(_MINHASH_P)
+    for j in range(bits):
+        g = (
+            (np.uint64(2 * j + 1) * th_flat + np.uint64(j * j + 7)) % P
+        ) % np.uint64(2)
+        contrib = (g.astype(np.int64) * 2 - 1)
+        c = np.concatenate(([0], np.cumsum(contrib)))
+        w = c[starts[1:]] - c[starts[:-1]]
+        out |= np.where(w > 0, np.uint64(1) << np.uint64(j), np.uint64(0))
+    return out.astype(np.int64)
+
+
+def with_simhash(
+    df: DataFrame,
+    text_col: str,
+    bits: int = 16,
+    keep: tuple[str, ...] = (),
+    out_col: str = "simhash",
+) -> DataFrame:
+    """``df`` → ``(keep..., simhash long)`` via one mapInArrow stage
+    (vectorized kernel; values identical to the explode + B-conditional-
+    sums aggregate — and row-local, so the aggregate's shuffle of the
+    exploded token stream disappears entirely)."""
+    import pyarrow as pa
+
+    src = df.select(*keep, text_col)
+    out_schema = T.StructType(
+        [*[src.schema[k] for k in keep],
+         T.StructField(out_col, T.LongType(), False)]
+    )
+
+    def fn(batches):
+        for batch in batches:
+            texts = batch.column(len(keep)).to_pylist()
+            sh = _simhash_rows(texts, bits)
+            cols = [batch.column(i) for i in range(len(keep))] + [
+                pa.array(sh, type=pa.int64())
+            ]
+            yield pa.RecordBatch.from_arrays(
+                cols,
+                schema=pa.schema(
+                    [batch.schema.field(i) for i in range(len(keep))]
+                    + [pa.field(out_col, pa.int64(), False)]
+                ),
+            )
+
+    return src.mapInArrow(fn, out_schema)
 
 
 def with_shingles(

@@ -625,9 +625,19 @@ def simhash_df(
     text_col: str = "text",
     bits: int = 16,
 ) -> DataFrame:
-    """Scale-path SimHash: explode token hashes → one hash-aggregate
-    with ``bits`` conditional sums (same Catalyst-CSE rationale as
-    minhash_signatures_df). Returns (id, simhash)."""
+    """Scale-path SimHash: one row-local vectorized Arrow stage by
+    default (r7 — functions/shingles_arrow.with_simhash computes the
+    identical integer signature with numpy segment sums and ZERO
+    shuffle; the explode + B-conditional-sums aggregate below shuffled
+    the whole exploded token stream). Returns (id, simhash).
+    ``SPARK_GRAFT_SHINGLE_IMPL=catalyst`` restores the aggregate form."""
+    from ..functions.shingles_arrow import arrow_kernel_enabled, with_simhash
+
+    if arrow_kernel_enabled():
+        return with_simhash(
+            df.select(F.col(id_col).alias("id"), F.col(text_col)),
+            text_col, bits, keep=("id",),
+        )
     hs = df.select(
         F.col(id_col).alias("id"),
         F.explode(

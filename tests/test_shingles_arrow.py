@@ -52,6 +52,25 @@ def test_arrow_kernel_matches_catalyst_kernel(spark):
             assert cat == arr, f"n={n}: kernel mismatch"
 
 
+def test_simhash_arrow_matches_catalyst(spark, monkeypatch):
+    from s3_log_parser_spark.operators.dedup import simhash_df
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for bits in (16, 64):
+        for src in (docs, _edge(spark)):
+            arrow = {
+                r["id"]: r["simhash"]
+                for r in simhash_df(src, bits=bits).collect()
+            }
+            monkeypatch.setenv("SPARK_GRAFT_SHINGLE_IMPL", "catalyst")
+            cat = {
+                r["id"]: r["simhash"]
+                for r in simhash_df(src, bits=bits).collect()
+            }
+            monkeypatch.delenv("SPARK_GRAFT_SHINGLE_IMPL")
+            assert arrow == cat, f"bits={bits}"
+
+
 def test_shingle_frame_routes_through_arrow_by_default(spark):
     from s3_log_parser_spark.operators.dedup import shingle_frame
 
