@@ -187,7 +187,10 @@ def _simhash_rows(texts: "list[str | None]", bits: int):
         c = np.concatenate(([0], np.cumsum(contrib)))
         w = c[starts[1:]] - c[starts[:-1]]
         out |= np.where(w > 0, np.uint64(1) << np.uint64(j), np.uint64(0))
-    return out.astype(np.int64)
+    # the aggregate form explodes the token array, so zero-token rows
+    # never reach the groupBy and are ABSENT from its output — mirror
+    # that by flagging them for the caller to drop
+    return out.astype(np.int64), lens > 0
 
 
 def with_simhash(
@@ -200,7 +203,8 @@ def with_simhash(
     """``df`` → ``(keep..., simhash long)`` via one mapInArrow stage
     (vectorized kernel; values identical to the explode + B-conditional-
     sums aggregate — and row-local, so the aggregate's shuffle of the
-    exploded token stream disappears entirely)."""
+    exploded token stream disappears entirely). Zero-token rows are
+    dropped, exactly as the aggregate form's explode drops them."""
     import pyarrow as pa
 
     src = df.select(*keep, text_col)
@@ -212,10 +216,11 @@ def with_simhash(
     def fn(batches):
         for batch in batches:
             texts = batch.column(len(keep)).to_pylist()
-            sh = _simhash_rows(texts, bits)
-            cols = [batch.column(i) for i in range(len(keep))] + [
-                pa.array(sh, type=pa.int64())
-            ]
+            sh, keep_mask = _simhash_rows(texts, bits)
+            mask = pa.array(keep_mask)
+            cols = [
+                batch.column(i).filter(mask) for i in range(len(keep))
+            ] + [pa.array(sh, type=pa.int64()).filter(mask)]
             yield pa.RecordBatch.from_arrays(
                 cols,
                 schema=pa.schema(
