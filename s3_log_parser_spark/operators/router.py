@@ -149,7 +149,34 @@ def route_and_write(
                 cores = spark.sparkContext.defaultParallelism
                 strategy = _os.environ.get("ROUTER_WRITE_STRATEGY", "auto")
                 if strategy == "auto":
-                    strategy = "coalesce" if cores >= 16 else "salt"
+                    # r7: the width rule alone mis-picks for HIGH-
+                    # CARDINALITY partition columns — a 116-value
+                    # by-day sink under coalesce(16) commits tasks ×
+                    # values ≈ 2k files (measured 13.7 s vs 7.0 s /
+                    # 908 files salted). When the (already cached)
+                    # counts cube can tell us the distinct value
+                    # count, pick salt once values exceed the core
+                    # count: each shuffle task then holds ~1 value, so
+                    # files ≈ salt_buckets × values and parallelism is
+                    # full; few-value sinks keep the shuffle-free
+                    # coalesce. Cube lookup is driver-side on ≤ a few
+                    # hundred cached rows.
+                    n_vals = None
+                    if base is not None and set(r.partition_by) <= set(
+                        base.columns
+                    ):
+                        try:
+                            n_vals = (
+                                base.select(*r.partition_by)
+                                .distinct()
+                                .count()
+                            )
+                        except Exception:
+                            n_vals = None
+                    if n_vals is not None and n_vals > cores:
+                        strategy = "salt"
+                    else:
+                        strategy = "coalesce" if cores >= 16 else "salt"
                 if strategy == "coalesce":
                     w = routed.coalesce(max(8, cores // 2))
                 elif strategy == "salt":
@@ -184,11 +211,55 @@ def route_and_write(
     # others (oversubscription just queues tasks).
     import os as _os
 
+    # Scale-adaptive scan splits for the fan-out (r7, guide §6/§2.2):
+    # each sink re-reads the slim checkpoint, and the session default
+    # split size (64 MB) can leave routes × splits far below the task
+    # slots — a 278 MB slim at 10 M rows yielded ~7 scan tasks per sink
+    # on 32 cores (measured route leg 16.0 → 13.1 s with right-sized
+    # splits). Derive the split size from the checkpoint's actual bytes
+    # so that the four sinks together fill ~2× the slots; clamp to
+    # [4 MB, session default] so a big slim (real cluster) keeps the
+    # large sequential splits. ROUTER_SCAN_SPLIT_MB overrides.
+    conf = slim.sparkSession.conf
+    cur_mpb = None
+    try:
+        cur_mpb = int(conf.get("spark.sql.files.maxPartitionBytes"))
+    except Exception:
+        pass
+    override = _os.environ.get("ROUTER_SCAN_SPLIT_MB")
+    new_mpb = None
+    if override:
+        new_mpb = int(override) << 20
+    elif cur_mpb is not None:
+        try:
+            total = 0
+            for uri in slim.inputFiles():
+                if uri.startswith("file:"):
+                    from urllib.parse import unquote, urlparse
+
+                    total += _os.path.getsize(unquote(urlparse(uri).path))
+                else:
+                    total = 0
+                    break
+            if total:
+                slots = slim.sparkSession.sparkContext.defaultParallelism
+                target_splits = max(1, (2 * slots) // max(1, len(routes)))
+                new_mpb = min(
+                    cur_mpb, max(4 << 20, total // target_splits)
+                )
+        except Exception:
+            new_mpb = None
     workers = int(_os.environ.get("ROUTER_CONCURRENCY", "4"))
-    with ThreadPoolExecutor(max_workers=max(1, workers)) as ex:
-        futures = {r.name: ex.submit(write_one, r) for r in routes}
-        for f in futures.values():
-            f.result()
+    try:
+        if new_mpb is not None:
+            conf.set("spark.sql.files.maxPartitionBytes", str(new_mpb))
+        with ThreadPoolExecutor(max_workers=max(1, workers)) as ex:
+            futures = {r.name: ex.submit(write_one, r) for r in routes}
+            for f in futures.values():
+                f.result()
+    finally:
+        if new_mpb is not None and cur_mpb is not None:
+            conf.set("spark.sql.files.maxPartitionBytes", str(cur_mpb))
     if base is not None:
         base.unpersist()
     # return lazy read-backs of the persisted counts tables — consuming
