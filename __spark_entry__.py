@@ -353,8 +353,13 @@ def _e7(spark, sf):
     # CASE WHEN oracle
     from s3_log_parser_spark.operators.enrich import bank_winner
 
+    from s3_log_parser_spark.session import literal_frame
+
     docs = _t(spark, sf, "documents")
-    bank = spark.createDataFrame(
+    # literal plan, not createDataFrame: a LogicalRDD bank costs a
+    # Python-worker task per broadcast build (guide §4)
+    bank = literal_frame(
+        spark,
         [("spark", 1, 0), ("window", 2, 1), ("merge", 3, 2), ("vector", 4, 3)],
         "pattern string, sid int, priority int",
     ).agg(
@@ -3199,7 +3204,9 @@ def _bm25(spark, sf):
     # the corpus-wide exchange carries only query-term rows.
     from s3_log_parser_spark.operators.retrieval import bm25_topk
 
-    qdf = spark.createDataFrame(_BM25_QUERIES, "q_id long, q_text string")
+    from s3_log_parser_spark.session import literal_frame
+
+    qdf = literal_frame(spark, _BM25_QUERIES, "q_id long, q_text string")
     return bm25_topk(_t(spark, sf, "documents"), qdf, k=5)
 
 
@@ -3243,7 +3250,9 @@ def _hybrid_rrf(spark, sf):
     from s3_log_parser_spark.operators.retrieval import bm25_topk, rrf_fuse
     from s3_log_parser_spark.operators.similarity import cosine_topk
 
-    qdf = spark.createDataFrame(_BM25_QUERIES, "q_id long, q_text string")
+    from s3_log_parser_spark.session import literal_frame
+
+    qdf = literal_frame(spark, _BM25_QUERIES, "q_id long, q_text string")
     lex = bm25_topk(_t(spark, sf, "documents"), qdf, k=5)
     emb = _t(spark, sf, "embeddings")
     dense = cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=5).select(

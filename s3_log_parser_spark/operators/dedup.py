@@ -1393,8 +1393,13 @@ def write_dedup_index(index: DedupIndex, path: str) -> None:
     hash families). Appending a day's accepted docs = appending their
     three frames to these tables. The table writes are independent and
     run concurrently (see :func:`_write_index_tables`)."""
+    from ..session import literal_frame
+
     spark = index.digests.sparkSession
-    meta = spark.createDataFrame(
+    # literal plan, not createDataFrame: the 1-row meta write through a
+    # LogicalRDD (python scan) measured 3.5 s vs 0.2 s (guide §4)
+    meta = literal_frame(
+        spark,
         [(index.n, index.k, index.mode, index.bloom_m, index.bloom_k,
           index.rows_per_band)],
         "n int, k int, mode string, bloom_m long, bloom_k int, "

@@ -214,32 +214,47 @@ USER_AGENTS = [
 
 
 def system_dim(spark: SparkSession):
-    """system pattern bank as a broadcast-join dimension (E7)."""
-    return spark.createDataFrame(
-        SYSTEM_PATTERNS, "pattern string, system_id int, priority int"
+    """system pattern bank as a broadcast-join dimension (E7).
+
+    All four dims below are plan-constant tables built as pure-JVM
+    literal plans (``session.literal_frame``) rather than
+    ``createDataFrame`` — a LogicalRDD dim costs a Python-worker task
+    on every broadcast build (~0.3-1 s/job, guide §4); the literal form
+    costs none. Rows and schema are identical."""
+    from .session import literal_frame
+
+    return literal_frame(
+        spark, SYSTEM_PATTERNS, "pattern string, system_id int, priority int"
     )
 
 
 def os_dim(spark: SparkSession):
     """flattened OS pattern bank (E8, intended semantics)."""
+    from .session import literal_frame
+
     rows = [
         (p, os_id, prio)
         for pats, os_id, prio in OS_PATTERNS
         for p in pats
     ]
-    return spark.createDataFrame(rows, "pattern string, os_id int, priority int")
+    return literal_frame(spark, rows, "pattern string, os_id int, priority int")
 
 
 def role_dim(spark: SparkSession):
-    return spark.createDataFrame(
-        [(r, i + 1) for i, r in enumerate(ROLES)], "role string, role_id int"
+    from .session import literal_frame
+
+    return literal_frame(
+        spark, [(r, i + 1) for i, r in enumerate(ROLES)],
+        "role string, role_id int",
     )
 
 
 def tool_dim(spark: SparkSession):
     from .functions.hashes import djb2_py
+    from .session import literal_frame
 
-    return spark.createDataFrame(
+    return literal_frame(
+        spark,
         [(t, i, djb2_py(t)) for i, t in enumerate(TOOL_NAMES)],
         "tool string, tool_id int, tool_hash long",
     )

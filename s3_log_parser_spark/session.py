@@ -21,6 +21,45 @@ import os
 from pyspark.sql import SparkSession
 
 
+def literal_frame(spark: SparkSession, rows: list, schema: str):
+    """Small constant DataFrame as a pure-JVM literal plan (guide §4:
+    eliminate the Python boundary).
+
+    ``createDataFrame(list)`` yields a ``LogicalRDD`` (ExistingRDD scan)
+    whose every job launches a Python worker task: measured ~0.3-1.3 s
+    per action even warm, and a parquet write of a ONE-ROW
+    createDataFrame frame cost 3.5 s vs 0.2 s for the literal form
+    (the write job serializes the python partition + commit through the
+    Python runner). For plan-constant tables (dims, pattern banks,
+    query lists, index meta) the inline-literal form keeps everything
+    in the JVM — same rows, same schema, zero Python workers.
+
+    ``schema`` is a DDL string; values are cast to the declared types.
+    Not for big/dynamic data: each cell is a py4j literal call.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    st = T._parse_datatype_string(schema)
+    if not rows:
+        return spark.range(0, 0, 1, 1).select(
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in st.fields]
+        )
+    structs = [
+        F.struct(
+            *[
+                F.lit(v).cast(f.dataType).alias(f.name)
+                for v, f in zip(r, st.fields)
+            ]
+        )
+        for r in rows
+    ]
+    # ONE partition: a default-parallelism Range under a global
+    # aggregate would re-introduce an exchange these constant tables
+    # exist to avoid (dims are aggregated into single-row banks)
+    return spark.range(0, 1, 1, 1).select(F.inline(F.array(*structs)))
+
+
 def get_spark(
     app_name: str = "s3_log_parser_spark",
     cores: int | str | None = None,
