@@ -54,7 +54,7 @@ def ngram_buckets(
     )
 
 
-def _bucket_frame(
+def bucket_frame(
     df: DataFrame,
     text_col: str,
     n: int,
@@ -90,6 +90,8 @@ def bucket_weights(
     buckets: int = 4096,
     mode: str = "djb2",
     scale: int = 1000,
+    raw_buckets: DataFrame | None = None,
+    target_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """per-bucket importance weight table:
     ``(bucket, raw_n, target_n, weight_x{scale})`` with
@@ -102,18 +104,29 @@ def bucket_weights(
     join semantics (a bucket seen in only one corpus still gets a
     smoothed weight) fall out for free. Buckets seen in neither corpus
     don't need a row — scorers coalesce their weight to ``scale`` (the
-    smoothed (0+1)/(0+1) ratio) at lookup time."""
+    smoothed (0+1)/(0+1) ratio) at lookup time.
 
-    def _tagged(df: DataFrame, rc: int, tc: int) -> DataFrame:
-        return _bucket_frame(df, text_col, n, buckets, mode).select(
+    ``raw_buckets`` / ``target_buckets`` (r7): pre-exploded bucket
+    frames (any frame with a ``bucket`` column, e.g. a staged
+    :func:`bucket_frame` or a filtered slice of one) substitute for
+    re-running the shingle kernel over ``raw`` / ``target`` — the
+    staged-feature-frame seam, exactly like the dedup shingle frame:
+    a composition that needs weights AND scores derives every stream
+    from ONE kernel pass."""
+
+    def _tagged(df: DataFrame, pre: DataFrame | None, rc: int, tc: int) -> DataFrame:
+        b = pre if pre is not None else bucket_frame(
+            df, text_col, n, buckets, mode
+        )
+        return b.select(
             "bucket",
             F.lit(rc).alias("_r"),
             F.lit(tc).alias("_t"),
         )
 
     j = (
-        _tagged(raw, 1, 0)
-        .unionByName(_tagged(target, 0, 1))
+        _tagged(raw, raw_buckets, 1, 0)
+        .unionByName(_tagged(target, target_buckets, 0, 1))
         .groupBy("bucket")
         .agg(
             F.sum("_r").cast("long").alias("raw_n"),
@@ -141,6 +154,7 @@ def importance_scores(
     buckets: int = 4096,
     mode: str = "djb2",
     scale: int = 1000,
+    buckets_df: DataFrame | None = None,
 ) -> DataFrame:
     """``(id_col, n_feats, imp_x{scale})`` per document: the sum of its
     distinct feature buckets' weights (buckets absent from the weight
@@ -151,7 +165,11 @@ def importance_scores(
     ≤ ``buckets``-row weight table → hash re-aggregate on the doc id.
     No sort, no corpus-sized shuffle beyond the id re-aggregate."""
     wcol = f"weight_x{scale}"
-    b = _bucket_frame(df, text_col, n, buckets, mode, keep=(id_col,))
+    b = (
+        buckets_df
+        if buckets_df is not None
+        else bucket_frame(df, text_col, n, buckets, mode, keep=(id_col,))
+    )
     j = b.join(
         F.broadcast(weights.select("bucket", wcol)), "bucket", "left"
     )
@@ -173,6 +191,7 @@ def importance_resample(
     buckets: int = 4096,
     mode: str = "djb2",
     scale: int = 1000,
+    buckets_df: DataFrame | None = None,
 ) -> DataFrame:
     """the top-``k`` most target-like documents (deterministic total
     order: score desc, then id asc — re-runs pick the same set). The
@@ -180,7 +199,8 @@ def importance_resample(
     full sort); joining back to the original rows is an id equi-join
     against a ≤k-row broadcast side."""
     scores = importance_scores(
-        df, weights, id_col, text_col, n, buckets, mode, scale
+        df, weights, id_col, text_col, n, buckets, mode, scale,
+        buckets_df=buckets_df,
     )
     top = scores.orderBy(
         F.col(f"imp_x{scale}").desc(), F.col(id_col).asc()

@@ -109,3 +109,43 @@ def test_resample_deterministic_topk(spark):
 def test_weight_table_is_aggregate_sized(spark):
     _, w = _weights(spark)
     assert w.count() <= _BUCKETS
+
+
+def test_staged_bucket_frame_matches_direct_paths(spark):
+    """the r7 staged-feature seam: weights and scores derived from ONE
+    pre-exploded bucket frame must equal the from-text forms exactly
+    (same kernel, same values — only the number of kernel passes
+    changes)."""
+    from s3_log_parser_spark.operators.importance import bucket_frame
+
+    docs = _docs(spark)
+    target = docs.filter(F.col("doc_id") <= 2)
+    bf = bucket_frame(
+        docs, "text", 2, _BUCKETS, "djb2", keep=("doc_id",)
+    ).localCheckpoint(eager=True)
+
+    w_direct = bucket_weights(docs, target, n=2, buckets=_BUCKETS)
+    w_staged = bucket_weights(
+        docs, target, n=2, buckets=_BUCKETS,
+        raw_buckets=bf,
+        target_buckets=bf.filter(F.col("doc_id") <= 2),
+    )
+    assert sorted(map(tuple, w_direct.collect())) == sorted(
+        map(tuple, w_staged.collect())
+    )
+
+    s_direct = importance_scores(docs, w_direct, n=2, buckets=_BUCKETS)
+    s_staged = importance_scores(
+        docs, w_direct, n=2, buckets=_BUCKETS, buckets_df=bf
+    )
+    assert sorted(map(tuple, s_direct.collect())) == sorted(
+        map(tuple, s_staged.collect())
+    )
+
+    r_direct = importance_resample(docs, w_direct, k=2, n=2, buckets=_BUCKETS)
+    r_staged = importance_resample(
+        docs, w_direct, k=2, n=2, buckets=_BUCKETS, buckets_df=bf
+    )
+    assert sorted(map(tuple, r_direct.collect())) == sorted(
+        map(tuple, r_staged.collect())
+    )
