@@ -321,6 +321,44 @@ GOPHER_TOP_NGRAM_PCT = {2: 20, 3: 18, 4: 16}
 GOPHER_DUP_NGRAM_PCT = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
 
 
+def _dup_run_stats_sql(items: str) -> str:
+    """SQL text of :func:`_dup_run_stats` over an array expression —
+    identical fold, built as ONE string instead of ~60 py4j Column
+    calls (r7: the 11-fold flag suite cost ~1.0 s of pure driver time
+    per construction; string building is microseconds and the parsed
+    tree is the same)."""
+    return (
+        f"aggregate(array_sort({items}), "
+        "named_struct('prev', CAST(NULL AS STRING), "
+        "'run', CAST(1 AS BIGINT), 'docc', CAST(0 AS BIGINT), "
+        "'dxc', CAST(0 AS BIGINT), 'dac', CAST(0 AS BIGINT), "
+        "'top', CAST(0 AS BIGINT)), "
+        "(acc, x) -> IF(x = acc.prev, "
+        "named_struct('prev', acc.prev, 'run', acc.run + 1, "
+        "'docc', acc.docc + 1, 'dxc', acc.dxc + length(x), "
+        "'dac', acc.dac + IF(acc.run = 1, 2 * length(x), length(x)), "
+        "'top', greatest(acc.top, (acc.run + 1) * length(x))), "
+        "named_struct('prev', x, 'run', CAST(1 AS BIGINT), "
+        "'docc', acc.docc, 'dxc', acc.dxc, 'dac', acc.dac, "
+        "'top', greatest(acc.top, CAST(length(x) AS BIGINT)))), "
+        "acc -> named_struct('docc', acc.docc, 'dxc', acc.dxc, "
+        "'dac', acc.dac, 'top', acc.top))"
+    )
+
+
+def _shingles_sql(toks: str, n: int) -> str:
+    """SQL text of ``operators.dedup.shingles`` over a token-array
+    expression (same slice/zip_with ladder, same <n-token fallback)."""
+    k = f"greatest(size({toks}) - {n - 1}, 0)"
+    cur = f"transform(slice({toks}, 1, {k}), t -> t)"
+    for j in range(2, n + 1):
+        cur = (
+            f"zip_with({cur}, slice({toks}, {j}, {k}), "
+            "(acc, t) -> concat(acc, ' ', t))"
+        )
+    return f"IF(size({toks}) >= {n}, {cur}, array(array_join({toks}, ' ')))"
+
+
 def gopher_repetition_flags(col: Column | str) -> dict[str, Column]:
     """The Gopher repetition-rule suite (Rae et al. 2021 A1.2) — the
     intra-document complement of :func:`gopher_flags` (A1.1) — as
@@ -346,10 +384,57 @@ def gopher_repetition_flags(col: Column | str) -> dict[str, Column]:
     agree on the exact rule. Documents with < n tokens PASS the
     n-gram rules (no n-gram exists). Pure Catalyst: per-row sorts and
     folds only — quality gating at 100 TB stays map-side CPU with no
-    exchange."""
+    exchange.
+
+    Construction path (r7): for a string column name the whole flag
+    suite is generated as SQL TEXT (one ``F.expr`` per flag) — the
+    Column-by-Column form cost ~1.0 s of py4j driver time per call
+    (11 sort-folds built from ~60 Column calls each); the parsed trees
+    are identical, pinned by the SQL-vs-Column equality test. Column
+    inputs keep the Column form."""
+    if isinstance(col, str):
+        return _gopher_repetition_flags_sql(col)
+    return _gopher_repetition_flags_cols(col)
+
+
+def _gopher_repetition_flags_sql(col: str) -> dict[str, Column]:
+    c = f"coalesce(`{col}`, '')"
+    toks = f"filter(split(trim({c}), '\\\\s+'), t -> t != '')"
+    ntok = f"size({toks})"
+    dc = f"CAST(greatest(length({c}), 1) AS BIGINT)"
+    lines = f"filter(split({c}, '\\n'), x -> trim(x) != '')"
+    paras = f"filter(split({c}, '\\n\\n'), x -> trim(x) != '')"
+    ls = _dup_run_stats_sql(lines)
+    ps = _dup_run_stats_sql(paras)
+    n_lines = f"greatest(CAST(size({lines}) AS BIGINT), CAST(1 AS BIGINT))"
+    n_paras = f"greatest(CAST(size({paras}) AS BIGINT), CAST(1 AS BIGINT))"
+    sqls: dict[str, str] = {
+        "dup_line_ok": f"({ls}).docc * 100 <= {n_lines} * 30",
+        "dup_line_char_ok": f"({ls}).dxc * 100 <= {dc} * 20",
+        "dup_para_ok": f"({ps}).docc * 100 <= {n_paras} * 30",
+        "dup_para_char_ok": f"({ps}).dxc * 100 <= {dc} * 20",
+    }
+    for n, pct in GOPHER_TOP_NGRAM_PCT.items():
+        st = _dup_run_stats_sql(_shingles_sql(toks, n))
+        sqls[f"top_{n}gram_ok"] = (
+            f"({ntok} < {n}) OR (({st}).top * 100 <= {dc} * {pct})"
+        )
+    for n, pct in GOPHER_DUP_NGRAM_PCT.items():
+        st = _dup_run_stats_sql(_shingles_sql(toks, n))
+        sqls[f"dup_{n}gram_ok"] = (
+            f"({ntok} < {n}) OR (({st}).dac * 100 <= {dc} * {pct})"
+        )
+    flags = {k: F.expr(s) for k, s in sqls.items()}
+    flags["repetition_pass"] = F.expr(
+        " AND ".join(f"({s})" for s in sqls.values())
+    )
+    return flags
+
+
+def _gopher_repetition_flags_cols(col: Column) -> dict[str, Column]:
     from ..operators.dedup import shingles
 
-    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    c = F.coalesce(col, F.lit(""))
     toks = tokens(c)
     ntok = F.size(toks)
     dc = F.greatest(F.length(c), F.lit(1)).cast("long")
