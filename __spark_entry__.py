@@ -100,6 +100,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # ===========================================================================
 
 
+
+_SLIM10K_CACHE: dict = {}
+
+
+def _slim10k(spark):
+    """the shared 10k-row slim PLAN (gen -> parse -> enrich -> flags),
+    built once per session and reused by every golden-slim query — six
+    queries each rebuilt the identical ~0.7 s expression tree (pure
+    driver/py4j work); reusing the immutable DataFrame object changes
+    nothing about execution (each query still computes from the
+    generated input — no results are cached, only the logical plan)."""
+    from s3_log_parser_spark.plans.pipeline import build_slim
+    from s3_log_parser_spark.sources.gen import gen_transcripts
+
+    key = id(spark)
+    got = _SLIM10K_CACHE.get(key)
+    if got is None:
+        got = build_slim(gen_transcripts(spark, rows=10_000))
+        _SLIM10K_CACHE.clear()  # one live session at a time
+        _SLIM10K_CACHE[key] = got
+    return got
+
+
 @q(
     "s1_scan_filter_project",
     """
@@ -1521,7 +1544,7 @@ def _pslim(spark, sf):
     from s3_log_parser_spark.plans.pipeline import build_slim
     from s3_log_parser_spark.sources.gen import gen_transcripts
 
-    slim = build_slim(gen_transcripts(spark, rows=10_000))
+    slim = _slim10k(spark)
     return slim.groupBy("parse_status", F.col("flags").cast("long").alias("flags")).agg(
         F.count("*").alias("count")
     )
@@ -1541,7 +1564,7 @@ def _psink(spark, sf):
     from s3_log_parser_spark.plans.pipeline import build_slim
     from s3_log_parser_spark.sources.gen import gen_transcripts
 
-    slim = build_slim(gen_transcripts(spark, rows=10_000))
+    slim = _slim10k(spark)
     route = (
         F.when(F.col("parse_status") != "ok", F.lit("rejects"))
         .otherwise(F.lit("ok_routes"))
@@ -1569,7 +1592,7 @@ def _gexp(spark, sf):
     from s3_log_parser_spark.plans.pipeline import build_slim
     from s3_log_parser_spark.sources.gen import gen_transcripts
 
-    slim = build_slim(gen_transcripts(spark, rows=10_000))
+    slim = _slim10k(spark)
     g = grouped_export(
         slim, "tool", max_rows_per_group=100,
         member_order=("conv_id", "turn_idx"),
@@ -1615,7 +1638,7 @@ def _sink_roundtrip(spark, fmt: str):
     from s3_log_parser_spark.plans.pipeline import build_slim
     from s3_log_parser_spark.sources.gen import gen_transcripts
 
-    slim = build_slim(gen_transcripts(spark, rows=10_000))
+    slim = _slim10k(spark)
     root = tempfile.mkdtemp(prefix=f"{fmt}_sink_")
     path = os.path.join(root, fmt)
     if fmt == "csv":
@@ -2119,7 +2142,7 @@ def _skew_profile(spark, sf):
     from s3_log_parser_spark.plans.pipeline import build_slim
     from s3_log_parser_spark.sources.gen import gen_transcripts
 
-    slim = build_slim(gen_transcripts(spark, rows=10_000))
+    slim = _slim10k(spark)
     return profile_key_skew(slim, "conv_hash")
 
 
@@ -2153,7 +2176,7 @@ def _latency_pcts(spark, sf):
     from s3_log_parser_spark.plans.pipeline import build_slim
     from s3_log_parser_spark.sources.gen import gen_transcripts
 
-    slim = build_slim(gen_transcripts(spark, rows=10_000))
+    slim = _slim10k(spark)
     return percentiles_disc(slim, "tool", "download_time_ms")
 
 

@@ -93,12 +93,58 @@ def classify_device_when(ua: Column | str, os_id: Column) -> Column:
     )
 
 
+def _sqlq(s: str) -> str:
+    """single-quoted Spark SQL string literal (escape \\ then ')."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def classify_when(df: DataFrame, ua_col: str = "user_agent") -> DataFrame:
-    """Attach system_id/os_id/device_id/platform_id via CASE WHEN chains."""
-    ua = F.col(ua_col)
-    df = df.withColumn("system_id", classify_system_when(ua))
-    df = df.withColumn("os_id", classify_os_when(ua))
-    df = df.withColumn("device_id", classify_device_when(ua, F.col("os_id")))
+    """Attach system_id/os_id/device_id/platform_id via CASE WHEN chains.
+
+    Built as SQL text (r7): the Column-by-Column chains cost ~0.13 s of
+    py4j driver time per construction (build_slim is rebuilt by every
+    slim-derived query); one f-string + three ``F.expr`` calls parse to
+    the identical CASE trees. ``contains(NULL, p)`` is NULL → CASE
+    falls through, matching the previous ``isNotNull() & contains``
+    guards. Parity with the per-function Column forms stays pinned by
+    the classifier tests."""
+    ua = f"`{ua_col}`"
+    sys_sql = (
+        "CAST(CASE "
+        + " ".join(
+            f"WHEN contains({ua}, {_sqlq(p)}) THEN {sid}"
+            for p, sid, _prio in SYSTEM_PATTERNS
+        )
+        + " ELSE 0 END AS INT)"
+    )
+    os_sql = (
+        "CAST(CASE "
+        + " ".join(
+            "WHEN "
+            + " OR ".join(f"contains({ua}, {_sqlq(p)})" for p in pats)
+            + f" THEN {os_id}"
+            for pats, os_id, _prio in OS_PATTERNS
+        )
+        + f" ELSE {OS_IDS['OS_UNKNOWN']} END AS INT)"
+    )
+    dev_sql = (
+        "CAST(CASE "
+        f"WHEN os_id = {OS_IDS['OS_WATCH']} THEN {DEVICE_IDS['DEV_WATCH']} "
+        f"WHEN os_id = {OS_IDS['OS_TV']} THEN {DEVICE_IDS['DEV_TV']} "
+        f"WHEN contains({ua}, 'Mobile') OR (os_id = {OS_IDS['OS_IOS']} "
+        f"AND contains({ua}, 'iPhone')) THEN {DEVICE_IDS['DEV_MOBILE']} "
+        f"WHEN contains({ua}, 'Tablet') OR contains({ua}, 'iPad') "
+        f"THEN {DEVICE_IDS['DEV_TABLET']} "
+        f"WHEN contains({ua}, 'Echo') OR contains({ua}, 'HomePod') "
+        f"OR contains({ua}, 'GoogleHome') "
+        f"THEN {DEVICE_IDS['DEV_SMART_SPEAKER']} "
+        f"WHEN os_id IN ({OS_IDS['OS_WINDOWS']}, {OS_IDS['OS_LINUX']}, "
+        f"{OS_IDS['OS_MACOS']}) THEN {DEVICE_IDS['DEV_DESKTOP']} "
+        f"ELSE {DEVICE_IDS['DEV_UNKNOWN']} END AS INT)"
+    )
+    df = df.withColumn("system_id", F.expr(sys_sql))
+    df = df.withColumn("os_id", F.expr(os_sql))
+    df = df.withColumn("device_id", F.expr(dev_sql))
     return _platform_cols(df)
 
 
@@ -184,22 +230,37 @@ def enrich_role_tool(df: DataFrame, method: str = "broadcast") -> DataFrame:
     if method == "expr":
         from ..functions.hashes import djb2_py
 
-        role = F.col("role")
-        role_id = F.lit(None).cast("int")
-        for i, r in enumerate(ROLES):
-            role_id = F.when(role == r, F.lit(i + 1)).otherwise(role_id)
-        tool = F.col("tool")
-        tool_id = F.lit(None).cast("int")
-        tool_hash = F.lit(None).cast("long")
-        for i, t in enumerate(TOOL_NAMES):
-            tool_id = F.when(tool == t, F.lit(i)).otherwise(tool_id)
-            tool_hash = F.when(tool == t, F.lit(djb2_py(t))).otherwise(
-                tool_hash
+        # SQL text, not a 46-When Column loop (r7): same CASE trees,
+        # ~0.15 s of py4j per construction saved; distinct match values
+        # make the WHEN order irrelevant
+        role_sql = (
+            "CAST(CASE "
+            + " ".join(
+                f"WHEN role = {_sqlq(r)} THEN {i + 1}"
+                for i, r in enumerate(ROLES)
             )
+            + " ELSE CAST(NULL AS INT) END AS INT)"
+        )
+        tool_id_sql = (
+            "CAST(CASE "
+            + " ".join(
+                f"WHEN tool = {_sqlq(t)} THEN {i}"
+                for i, t in enumerate(TOOL_NAMES)
+            )
+            + " ELSE CAST(NULL AS INT) END AS INT)"
+        )
+        tool_hash_sql = (
+            "CAST(CASE "
+            + " ".join(
+                f"WHEN tool = {_sqlq(t)} THEN {djb2_py(t)}"
+                for t in TOOL_NAMES
+            )
+            + " ELSE CAST(NULL AS BIGINT) END AS BIGINT)"
+        )
         return (
-            df.withColumn("role_id", role_id.cast("int"))
-            .withColumn("tool_id", tool_id.cast("int"))
-            .withColumn("tool_dim_hash", tool_hash.cast("long"))
+            df.withColumn("role_id", F.expr(role_sql))
+            .withColumn("tool_id", F.expr(tool_id_sql))
+            .withColumn("tool_dim_hash", F.expr(tool_hash_sql))
         )
     spark = df.sparkSession
     df = df.join(F.broadcast(role_dim(spark)), "role", "left")
