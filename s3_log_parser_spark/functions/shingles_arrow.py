@@ -54,6 +54,113 @@ def arrow_kernel_enabled() -> bool:
     )
 
 
+# --- XXH64 (the production shingle family, r7) -------------------------
+# Spark's ``xxhash64`` is standard XXH64: strings hash their UTF-8
+# bytes with seed 42; multi-arg calls chain ``h = XXH64(le64(col), h)``
+# over the 8-byte little-endian value. Both forms are reproduced here
+# exactly (pinned by tests against F.xxhash64): the per-long step as
+# vectorized numpy uint64 ops, the per-token string hash in pure
+# Python over the DISTINCT token table (dictionary-encoded, so cost is
+# O(vocab) not O(tokens)).
+_XP1 = 0x9E3779B185EBCA87
+_XP2 = 0xC2B2AE3D27D4EB4F
+_XP3 = 0x165667B19E3779F9
+_XP4 = 0x85EBCA77C2B2AE63
+_XP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+_XXH_SEED = 42
+
+
+def _xxh64_long_vec(l, seed):
+    """vectorized XXH64 of int64 bit patterns (uint64 in, uint64 out);
+    ``seed`` may be a scalar or an aligned ndarray."""
+    import numpy as np
+
+    P1, P2 = np.uint64(_XP1), np.uint64(_XP2)
+    P3, P4, P5 = np.uint64(_XP3), np.uint64(_XP4), np.uint64(_XP5)
+
+    def rotl(x, r):
+        r = np.uint64(r)
+        return (x << r) | (x >> (np.uint64(64) - r))
+
+    acc = np.asarray(seed, dtype=np.uint64) + P5 + np.uint64(8)
+    k1 = rotl(np.asarray(l, dtype=np.uint64) * P2, 31) * P1
+    acc = rotl(acc ^ k1, 27) * P1 + P4
+    acc ^= acc >> np.uint64(33)
+    acc *= P2
+    acc ^= acc >> np.uint64(29)
+    acc *= P3
+    acc ^= acc >> np.uint64(32)
+    return acc
+
+
+def _xxh64_long_py(l: int, seed: int) -> int:
+    """scalar XXH64 of one 8-byte long (python ints, for short rows)."""
+    def rl(x, r):
+        return ((x << r) | (x >> (64 - r))) & _M64
+
+    acc = (seed + _XP5 + 8) & _M64
+    k1 = (rl((l * _XP2) & _M64, 31) * _XP1) & _M64
+    acc = (rl(acc ^ k1, 27) * _XP1 + _XP4) & _M64
+    acc ^= acc >> 33
+    acc = (acc * _XP2) & _M64
+    acc ^= acc >> 29
+    acc = (acc * _XP3) & _M64
+    acc ^= acc >> 32
+    return acc
+
+
+def _xxh64_bytes(data: bytes, seed: int = _XXH_SEED) -> int:
+    """full XXH64 over a byte string (python ints — run per DISTINCT
+    token only)."""
+    import struct
+
+    def rl(x, r):
+        return ((x << r) | (x >> (64 - r))) & _M64
+
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XP1 + _XP2) & _M64
+        v2 = (seed + _XP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XP1) & _M64
+        while i + 32 <= n:
+            k1, k2, k3, k4 = struct.unpack_from("<QQQQ", data, i)
+            v1 = (rl((v1 + k1 * _XP2) & _M64, 31) * _XP1) & _M64
+            v2 = (rl((v2 + k2 * _XP2) & _M64, 31) * _XP1) & _M64
+            v3 = (rl((v3 + k3 * _XP2) & _M64, 31) * _XP1) & _M64
+            v4 = (rl((v4 + k4 * _XP2) & _M64, 31) * _XP1) & _M64
+            i += 32
+        acc = (rl(v1, 1) + rl(v2, 7) + rl(v3, 12) + rl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            acc ^= (rl((v * _XP2) & _M64, 31) * _XP1) & _M64
+            acc = (acc * _XP1 + _XP4) & _M64
+    else:
+        acc = (seed + _XP5) & _M64
+    acc = (acc + n) & _M64
+    while i + 8 <= n:
+        (k,) = struct.unpack_from("<Q", data, i)
+        acc ^= (rl((k * _XP2) & _M64, 31) * _XP1) & _M64
+        acc = (rl(acc, 27) * _XP1 + _XP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        (k,) = struct.unpack_from("<I", data, i)
+        acc ^= (k * _XP1) & _M64
+        acc = (rl(acc, 23) * _XP2 + _XP3) & _M64
+        i += 4
+    while i < n:
+        acc ^= (data[i] * _XP5) & _M64
+        acc = (rl(acc, 11) * _XP1) & _M64
+        i += 1
+    acc ^= acc >> 33
+    acc = (acc * _XP2) & _M64
+    acc ^= acc >> 29
+    acc = (acc * _XP3) & _M64
+    acc ^= acc >> 32
+    return acc
+
+
 def _djb2_codepoints(s: str) -> int:
     h = DJB2_SEED
     for ch in s:
@@ -61,14 +168,17 @@ def _djb2_codepoints(s: str) -> int:
     return h
 
 
-def _hash_distinct_tokens(toks: "list[str]"):
-    """dict token → codepoint-DJB2, vectorized over the ASCII tokens
-    (one numpy multiply-add per character position across all tokens),
-    Python fallback per non-ASCII token."""
+def _hash_distinct_tokens(toks: "list[str]", mode: str = "djb2"):
+    """dict token → hash. djb2: codepoint fold, vectorized over the
+    ASCII tokens (one numpy multiply-add per character position across
+    all tokens), Python fallback per non-ASCII token. xxhash64: full
+    XXH64 over UTF-8 bytes, per distinct token (uint64 bit pattern)."""
     import numpy as np
 
     if not toks:
         return {}
+    if mode == "xxhash64":
+        return {t: _xxh64_bytes(t.encode("utf-8")) for t in toks}
     ascii_toks = [t for t in toks if t.isascii()]
     table: dict[str, int] = {}
     if ascii_toks:
@@ -84,14 +194,17 @@ def _hash_distinct_tokens(toks: "list[str]"):
     return table
 
 
-def _shingle_rows(texts: "list[str | None]", n: int):
+def _shingle_rows(texts: "list[str | None]", n: int, mode: str = "djb2"):
     """per-row first-occurrence-distinct shingle hash arrays.
 
     Returns (values int64 ndarray, offsets int64 ndarray) in Arrow
-    list layout."""
+    list layout. ``mode="xxhash64"`` runs the production fold:
+    ``first(d) = X(d, X(5381, 42))``, ``combine(acc, d) = X(d,
+    X(acc, 42))`` with X the per-long XXH64 step — exactly Spark's
+    ``xxhash64(seed, d)`` / ``xxhash64(acc, d)`` chaining."""
     import numpy as np
 
-    th_flat, lens = _tokenize_and_hash(texts)
+    th_flat, lens = _tokenize_and_hash(texts, mode)
     row_start = np.concatenate(([0], np.cumsum(lens)))
 
     # windows: rows with >= n tokens contribute len-n+1 shingles
@@ -108,11 +221,20 @@ def _shingle_rows(texts: "list[str | None]", n: int):
             row_start[win_rows]
             + (np.arange(len(win_rows)) - first_win[win_rows])
         )
-        acc = np.full(len(win_rows), DJB2_SEED, dtype=np.uint64)
-        for k in range(n):
-            acc = (acc * np.uint64(33) + th_flat[win_start + k]) & np.uint64(
-                _M32
-            )
+        if mode == "xxhash64":
+            c0 = np.uint64(_xxh64_long_py(DJB2_SEED, _XXH_SEED))
+            acc = _xxh64_long_vec(th_flat[win_start], c0)
+            for k in range(1, n):
+                acc = _xxh64_long_vec(
+                    th_flat[win_start + k],
+                    _xxh64_long_vec(acc, np.uint64(_XXH_SEED)),
+                )
+        else:
+            acc = np.full(len(win_rows), DJB2_SEED, dtype=np.uint64)
+            for k in range(n):
+                acc = (acc * np.uint64(33) + th_flat[win_start + k]) & np.uint64(
+                    _M32
+                )
     else:
         acc = np.empty(0, dtype=np.uint64)
 
@@ -123,11 +245,21 @@ def _shingle_rows(texts: "list[str | None]", n: int):
     for i in range(len(lens)):
         if short[i]:
             h = DJB2_SEED
-            for j in range(row_start[i], row_start[i] + lens[i]):
-                h = (h * 33 + int(th_flat[j])) & _M32
-            arr = np.array([h], dtype=np.int64)
+            if mode == "xxhash64":
+                for j in range(row_start[i], row_start[i] + lens[i]):
+                    h = _xxh64_long_py(
+                        int(th_flat[j]), _xxh64_long_py(h, _XXH_SEED)
+                    )
+            else:
+                for j in range(row_start[i], row_start[i] + lens[i]):
+                    h = (h * 33 + int(th_flat[j])) & _M32
+            arr = np.array([h], dtype=np.uint64).view(np.int64)
         else:
-            a = acc[win_off[i] : win_off[i + 1]].astype(np.int64)
+            # .view, not .astype: xxhash64 values use the full uint64
+            # range and astype past 2^63 is not a bit reinterpretation
+            a = np.ascontiguousarray(
+                acc[win_off[i] : win_off[i + 1]]
+            ).view(np.int64)
             _, idx = np.unique(a, return_index=True)
             arr = a[np.sort(idx)]
         out_vals.append(arr)
@@ -139,8 +271,8 @@ def _shingle_rows(texts: "list[str | None]", n: int):
     return values, offsets
 
 
-def _tokenize_and_hash(texts: "list[str | None]"):
-    """flat per-occurrence token DJB2s + row lengths (shared tokenizer
+def _tokenize_and_hash(texts: "list[str | None]", mode: str = "djb2"):
+    """flat per-occurrence token hashes + row lengths (shared tokenizer
     + distinct-token hash table)."""
     import numpy as np
 
@@ -153,7 +285,7 @@ def _tokenize_and_hash(texts: "list[str | None]"):
         for t in tk:
             if t not in distinct:
                 distinct[t] = None
-    table = _hash_distinct_tokens(list(distinct))
+    table = _hash_distinct_tokens(list(distinct), mode)
     lens = np.fromiter(
         (len(tk) for tk in row_toks), dtype=np.int64, count=len(row_toks)
     )
@@ -238,11 +370,14 @@ def with_shingles(
     n: int = 3,
     keep: tuple[str, ...] = (),
     out_col: str = "sh",
+    mode: str = "djb2",
 ) -> DataFrame:
     """``df`` → ``(keep..., out_col array<long>)`` via one mapInArrow
-    stage (the vectorized djb2 shingle kernel). ``keep`` must name
-    existing columns of ``df``; only ``keep + [text_col]`` cross the
-    Python boundary."""
+    stage (the vectorized shingle kernel; ``mode`` selects the djb2
+    parity family or the xxhash64 production family — both bit-exact
+    vs the Catalyst chain, test-pinned). ``keep`` must name existing
+    columns of ``df``; only ``keep + [text_col]`` cross the Python
+    boundary."""
     import pyarrow as pa
 
     src = df.select(*keep, text_col)
@@ -259,7 +394,7 @@ def with_shingles(
     def fn(batches):
         for batch in batches:
             texts = batch.column(len(keep)).to_pylist()
-            values, offsets = _shingle_rows(texts, n)
+            values, offsets = _shingle_rows(texts, n, mode)
             sh = pa.ListArray.from_arrays(
                 pa.array(offsets, type=pa.int32()),
                 pa.array(values, type=pa.int64()),

@@ -38,17 +38,17 @@ def contamination_hits(
     production family — both sides must use the same one)."""
     from ..functions.shingles_arrow import arrow_kernel_enabled, with_shingles
 
-    if mode == "djb2" and arrow_kernel_enabled():
+    if mode in ("djb2", "xxhash64") and arrow_kernel_enabled():
         # vectorized Arrow shingle kernel (bit-exact; the Catalyst
         # n=8 expression chain alone cost 4.3 s/evaluation at sf0.1)
         bench = (
-            with_shingles(benchmark.select(text_col), text_col, n)
+            with_shingles(benchmark.select(text_col), text_col, n, mode=mode)
             .select(F.explode("sh").alias("h"))
             .distinct()
         )
         post = with_shingles(
             docs.select(F.col(id_col), F.col(text_col)),
-            text_col, n, keep=(id_col,),
+            text_col, n, keep=(id_col,), mode=mode,
         ).select(F.col(id_col), F.explode("sh").alias("h"))
     else:
         bench = (

@@ -163,16 +163,17 @@ def shingle_frame(
     to :func:`jaccard_pairs_from_index` / :func:`incremental_dedup` via
     :func:`build_dedup_index` instead of recomputing per branch.
 
-    djb2 mode runs the vectorized Arrow kernel by default (bit-exact
-    values, ~3-12× the Catalyst expression chain — see
-    functions/shingles_arrow.py); ``SPARK_GRAFT_SHINGLE_IMPL=catalyst``
-    restores the pure-Catalyst form."""
+    Both hash families run the vectorized Arrow kernel by default
+    (bit-exact values, ~3-12× the Catalyst expression chain — see
+    functions/shingles_arrow.py; xxhash64 added r7);
+    ``SPARK_GRAFT_SHINGLE_IMPL=catalyst`` restores the pure-Catalyst
+    form."""
     from ..functions.shingles_arrow import arrow_kernel_enabled, with_shingles
 
-    if mode == "djb2" and arrow_kernel_enabled():
+    if mode in ("djb2", "xxhash64") and arrow_kernel_enabled():
         return with_shingles(
             df.select(F.col(id_col).alias("id"), F.col(text_col)),
-            text_col, n, keep=("id",),
+            text_col, n, keep=("id",), mode=mode,
         ).withColumn("sz", F.size("sh"))
     return df.select(
         F.col(id_col).alias("id"),
@@ -382,7 +383,7 @@ def ngram_jaccard_pairs(
     """
     from ..functions.shingles_arrow import arrow_kernel_enabled, with_shingles
 
-    if mode == "djb2" and arrow_kernel_enabled():
+    if mode in ("djb2", "xxhash64") and arrow_kernel_enabled():
         hdf = with_shingles(
             df.select(
                 F.col(id_col).alias("id"),
@@ -391,6 +392,7 @@ def ngram_jaccard_pairs(
             ),
             text_col, n,
             keep=("id", "grp") if group_col else ("id",),
+            mode=mode,
         ).withColumn("sz", F.size(F.col("sh")))
     else:
         hdf = df.select(

@@ -68,9 +68,10 @@ def bucket_frame(
     the pure-Catalyst column form otherwise."""
     from ..functions.shingles_arrow import arrow_kernel_enabled, with_shingles
 
-    if mode == "djb2" and arrow_kernel_enabled():
+    if mode in ("djb2", "xxhash64") and arrow_kernel_enabled():
         sh = with_shingles(
-            df.select(*keep, F.col(text_col)), text_col, n, keep=keep
+            df.select(*keep, F.col(text_col)), text_col, n, keep=keep,
+            mode=mode,
         )
         bkts = F.array_distinct(
             F.transform(F.col("sh"), lambda h: F.pmod(h, F.lit(buckets)))
