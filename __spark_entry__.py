@@ -32,11 +32,25 @@ _TABLES = (
 ).split()
 
 
+_T_CACHE: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # pin UTC: date_format/strftime comparisons against the DuckDB
     # oracle (tz-naive) only line up when Spark renders instants in UTC
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # memoize the scan frame per (session, path): read.parquet costs
+    # ~40 ms of driver file-listing/schema work per call and the leg
+    # makes ~130 calls over the same ten immutable tables. Plan-object
+    # reuse only — execution always scans the parquet files.
+    key = (id(spark), sf_dir, name)
+    got = _T_CACHE.get(key)
+    if got is None:
+        got = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if len(_T_CACHE) > 64:
+            _T_CACHE.clear()
+        _T_CACHE[key] = got
+    return got
 
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
