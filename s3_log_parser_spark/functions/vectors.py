@@ -131,11 +131,17 @@ def hyperplane_bits(vec: Column, n_planes: int, dim: int) -> Column:
     v = as_double(vec)
     bits = []
     for k in range(n_planes):
-        weights = F.array(
-            *[
-                F.lit(((k * 2654435761 + j * 40503) % 2001) - 1000).cast("double")
+        # ONE parsed SQL literal per plane, not dim F.lit().cast()
+        # py4j calls (n_planes × dim = 256 Column calls cost ~0.4 s of
+        # driver time per call site, r7) — identical plan literal
+        weights = F.expr(
+            "array("
+            + ",".join(
+                f"CAST({((k * 2654435761 + j * 40503) % 2001) - 1000}"
+                " AS DOUBLE)"
                 for j in range(dim)
-            ]
+            )
+            + ")"
         )
         prods = F.zip_with(v, weights, lambda x, w: x * w)
         s = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
