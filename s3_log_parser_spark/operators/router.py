@@ -194,8 +194,16 @@ def route_and_write(
                     salt = F.pmod(
                         F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(s)
                     )
+                    # EXPLICIT partition count: an unnumbered
+                    # repartition(cols) is fair game for AQE partition
+                    # coalescing, which shrinks the exchange to
+                    # ~advisory-size partitions (24 here) and starves
+                    # the CPU-bound parquet/zstd encode of write tasks
+                    # (measured on the 10 M-row by_day sink at 32
+                    # cores: 11.7 s unnumbered vs 4.8-5.8 s with the
+                    # slot-count pinned; file count unchanged)
                     w = routed.repartition(
-                        *[F.col(c) for c in r.partition_by], salt
+                        nshuf, *[F.col(c) for c in r.partition_by], salt
                     )
             catalog.write(w, r.name, mode=mode, partition_by=r.partition_by)
             # counts frames are tiny (≤ thousands of rows) — one file
