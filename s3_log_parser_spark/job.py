@@ -303,6 +303,23 @@ def cmd_ingest(args) -> None:
     )
     q.awaitTermination()
 
+    # a run where every incoming doc was rejected (audit-fail with
+    # --on-audit-fail=skip, or an all-duplicate batch against a fresh
+    # output dir) leaves no accepted/ parquet at all — report that
+    # instead of crashing on an unrelated path-not-found read
+    # (ADVICE r6)
+    def _has_accepted() -> bool:
+        d = f"{args.output}/accepted"
+        return os.path.isdir(d) and any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(d)
+            for f in fs
+        )
+
+    if not _has_accepted():
+        print("total accepted: 0 docs across 0 batches")
+        return
+
     if args.sketches:
         # few-KB persisted sketch tables over the ACCEPTED corpus:
         # distinct-doc HLL + per-source CMS heavy hitters. Separate

@@ -1257,10 +1257,19 @@ def cluster_canonical(
     lab = lab.withColumn(
         "cluster_id", F.coalesce(F.col("cluster_id"), F.col("id"))
     )
+    # NULL scores order LAST (ADVICE r6): -NULL is NULL, and a NULL
+    # leading struct field sorts smallest under MIN, so without the
+    # isNull discriminant an unscored member would beat every scored
+    # one — the opposite of the function's purpose. (false < true, so
+    # scored members always win; among all-NULL clusters the min id.)
     winners = lab.groupBy("cluster_id").agg(
         F.count("*").cast("long").alias("group_size"),
         F.min(
-            F.struct((-F.col("_s")).alias("ns"), F.col("id").alias("wid"))
+            F.struct(
+                F.col("_s").isNull().alias("nu"),
+                (-F.col("_s")).alias("ns"),
+                F.col("id").alias("wid"),
+            )
         ).alias("_w"),
     )
     return (

@@ -135,14 +135,14 @@ def bucket_weights(
         )
     )
     # floor division on non-negative BIGINTs — identical to DuckDB's
-    # `//`. The double-precision intermediate is exact while
-    # (target_n+1)*scale < 2^53 (~9e12 docs per bucket at scale=1000);
-    # raise rather than silently round past it.
+    # `//`. Integer `div`, not F.floor of a double `/` (ADVICE r6): the
+    # double intermediate silently loses exactness once
+    # (target_n+1)*scale exceeds 2^53 (~9e12 docs per bucket at
+    # scale=1000); `div` stays in 64-bit integers the whole way, the
+    # same house rule retrieval.py applies to its score arithmetic.
     if scale <= 0:
         raise ValueError("scale must be positive")
-    w = F.floor(
-        (F.col("target_n") + 1) * scale / (F.col("raw_n") + 1)
-    ).cast("long")
+    w = F.expr(f"((target_n + 1) * {int(scale)}) div (raw_n + 1)")
     return j.withColumn(f"weight_x{scale}", w)
 
 

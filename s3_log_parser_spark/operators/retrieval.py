@@ -25,11 +25,15 @@ Scale shape:
   (queries are the small side by construction).
 
 64-bit envelope: the cleared-fraction numerator is
-``idf_x1000 · tf · (100 + k1_x100) · sumdl · 100`` — exact while
-``sumdl`` (total corpus tokens) stays ≲ 4e12 per retrieval shard. At
-larger corpora, shard the index (df/idf merge by addition, scores are
-per-shard comparable) or accept double-precision normalization; not
-silently done here.
+``idf_x1000 · tf · (100 + k1_x100) · sumdl · 100`` — every factor
+counts (ADVICE r6: a sumdl-only bound was ~2000× too generous). With
+the default k1 the constant factor is 22,000, so the product is exact
+while ``idf_x1000 · tf · sumdl ≲ 4e14`` per retrieval shard — e.g. a
+worst-case idf of ~21,400 (N ≈ 2e9 docs, df = 1) and tf ≤ 1e3 caps
+``sumdl`` near 2e7; common-term queries (low idf, modest tf) reach
+sumdl ~1e10+. Past the envelope, shard the index (df/idf merge by
+addition, scores are per-shard comparable) or accept double-precision
+normalization; not silently done here.
 """
 
 from __future__ import annotations

@@ -1035,6 +1035,28 @@ def test_cluster_canonical_singletons_and_exactly_one_winner(spark):
     assert len(by_cluster) == 17
 
 
+def test_cluster_canonical_null_scores_order_last(spark):
+    """a NULL score must never beat a scored member (ADVICE r6: -NULL
+    sorts smallest in struct MIN, so without the isNull discriminant
+    the unscored doc won); all-NULL clusters fall back to min id."""
+    from s3_log_parser_spark.operators.dedup import cluster_canonical
+
+    docs = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 9), (10, None), (11, None)],
+        "doc_id long, score long",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "id long, cluster_id long",
+    )
+    got = {
+        r["id"]: r["keep"]
+        for r in cluster_canonical(docs, clusters, "score").collect()
+    }
+    # scored 9 wins over NULL and over 5
+    assert got == {1: False, 2: False, 3: True, 10: True, 11: False}
+
+
 def test_cluster_canonical_rejects_string_score(spark):
     import pytest
 

@@ -172,6 +172,25 @@ def test_ingest_cli_two_batches(spark, tmp_path):
     assert acc3.count() == acc2.count()
 
 
+def test_ingest_cli_all_rejected_reports_zero(spark, tmp_path, capsys):
+    """a run whose every doc fails the audit gate (skip mode) leaves no
+    accepted/ parquet; the CLI must report 0 accepted docs instead of
+    crashing on the read-back (ADVICE r6)."""
+    in_dir = str(tmp_path / "incoming")
+    out = str(tmp_path / "ingested")
+    idx = str(tmp_path / "index")
+    spark.createDataFrame(
+        [(None, "s0", None), (None, "s0", None)],
+        "doc_id long, source string, text string",
+    ).coalesce(1).write.parquet(in_dir)
+    main(
+        ["--cores", "4", "ingest", "-f", in_dir, "-o", out,
+         "--index", idx, "--audit", "--on-audit-fail", "skip",
+         "--sketches"]
+    )
+    assert "total accepted: 0 docs across 0 batches" in capsys.readouterr().out
+
+
 def test_diff_cli_statuses_and_partitioned_sink(spark, tmp_path, capsys):
     old_p = str(tmp_path / "old")
     new_p = str(tmp_path / "new")
